@@ -1,0 +1,301 @@
+"""The SKI grid covariance K = W K_UU W^T + diag(eps) as ONE fused,
+batched, differentiable matvec.
+
+Reference architecture (runlmc/lmc/grid_kernel.py:22-136) builds a lazy
+operator *tree* — Kronecker / BlockDiag / SymmSquareBlock compositions of
+BTTB operators — and each matvec walks the tree in Python, running one
+numpy FFT per BTTB block. The TPU-native redesign collapses the whole
+tree into a single Fourier-space contraction:
+
+    K_UU v  =  irfftn( contract(coreg, rfftn(kernels-on-grid),
+                                 rfftn(v)) )
+
+because every representation ('sum', 'bt', 'slfm') of
+K_UU = sum_q B_q (x) T_q acts diagonally in the grid Fourier basis. One
+forward FFT of the operand (batched over D outputs and any number of
+right-hand sides), one einsum, one inverse FFT — regardless of Q. The
+representations differ ONLY in the einsum path (and what is precomputed
+per parameter update), mirroring the reference's asymptotics:
+
+  'sum'  einsum('qde,qf,bef->bdf')      O(Q D^2 F)/matvec, no precompute
+         (parity: _gen_sum_grid, grid_kernel.py:126-136)
+  'bt'   precompute S[d,e,f] = sum_q B_q[d,e] That_q[f]  -> O(D^2 F)/matvec
+         (parity: _gen_bt_grid, grid_kernel.py:115-123)
+  'slfm' factored A* path + diagonal path -> O((R + D) F)/matvec
+         (parity: _gen_slfm_grid, grid_kernel.py:77-112)
+
+Representation auto-selection reproduces gen_grid_kernel's heuristic
+(grid_kernel.py:49-74) on static spec metadata.
+
+Everything in this module is differentiable w.r.t. raw hyperparameters —
+the gradient path IS this same code under jax.grad.
+"""
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
+from runlmc_tpu.ops import bttb as bttb_ops
+from runlmc_tpu.ops.interpolation import Interp, autogrid, multi_interpolant
+from runlmc_tpu.ops.operators import LinearOperator
+from runlmc_tpu.utils.np_utils import cartesian_product
+
+
+# --------------------------------------------------------------------------
+# Host-side grid construction (data-dependent, parameter-independent).
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridPlan:
+    """Static per-active-dim-group plan: which kernels, which
+    representation, grid sizes. Hashable — safe as a jit static arg."""
+
+    active_dim: Tuple[int, ...]
+    kidxs: Tuple[int, ...]
+    rep: str
+    sizes: Tuple[int, ...]
+
+
+def choose_rep(spec: LMCKernelSpec, active_dim) -> str:
+    """Representation auto-selection (parity: gen_grid_kernel,
+    runlmc/lmc/grid_kernel.py:49-64)."""
+    if spec.Q == 1:
+        return "sum"
+    tot_rank = spec.total_rank(active_dim)
+    num_lmc, _, num_indep = spec.counts(active_dim)
+    correction_if_no_diagonal = spec.D if (not num_lmc and not num_indep) else 0
+    if tot_rank + spec.D < spec.D**2 + correction_if_no_diagonal:
+        return "slfm"
+    return "bt"
+
+
+@dataclasses.dataclass
+class GridData:
+    """Host-built, parameter-independent grid artifacts for one group."""
+
+    plan: GridPlan
+    axes: list  # per-dim numpy grid axes
+    dists: np.ndarray  # (m,) flattened BTTB first-row distances
+    interp: Interp  # W for the training inputs, (n, D*m)
+
+
+def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None):
+    """Build grids/distances/interpolants per active-dim group (parity:
+    InterpolatedLLGP._generate_grids, interpolated_llgp.py:415-443).
+
+    ``Xs``: list of per-output (n_i, P) design matrices.
+    """
+
+    def _sub(v, active_dim):
+        if v is None:
+            return None
+        v = np.asarray(v)
+        if v.ndim == 0:
+            assert len(active_dim) == 1
+            return v.reshape(1)
+        return v[list(active_dim)]
+
+    out = []
+    for active_dim, kidxs in spec.active_dims.items():
+        Xs_active = [np.asarray(X)[:, list(active_dim)] for X in Xs]
+        axes = autogrid(
+            Xs_active, _sub(lo, active_dim), _sub(hi, active_dim),
+            _sub(m, active_dim),
+        )
+        grid = cartesian_product(*axes)
+        dists = np.linalg.norm(grid - grid[0], axis=-1)
+        sizes = tuple(len(a) for a in axes)
+        interp = multi_interpolant(Xs_active, axes)
+        plan = GridPlan(
+            active_dim=tuple(active_dim),
+            kidxs=tuple(kidxs),
+            rep=choose_rep(spec, active_dim),
+            sizes=sizes,
+        )
+        out.append(GridData(plan=plan, axes=axes, dists=dists, interp=interp))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Jit-side parameter-dependent state + fused matvec.
+# --------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class GroupState:
+    """Fourier-space state of one active-dim group's K_UU term."""
+
+    sizes: Tuple[int, ...] = flax.struct.field(pytree_node=False)
+    rep: str = flax.struct.field(pytree_node=False)
+    interp: Interp = None
+    grid_tops: Any = None  # (Qg, m) kernels on grid (kept for prediction)
+    # 'sum'
+    B: Optional[Any] = None  # (Qg, D, D)
+    That: Optional[Any] = None  # (Qg, F) complex
+    # 'bt'
+    BThat: Optional[Any] = None  # (D, D, F) complex
+    # 'slfm'
+    A: Optional[Any] = None  # (D, R_tot)
+    That_rep: Optional[Any] = None  # (R_tot, F) complex
+    diag_That: Optional[Any] = None  # (D, F) complex
+
+    @property
+    def D(self):
+        return self.interp.ncols // int(np.prod(self.sizes))
+
+    def fourier_shape(self):
+        ext = bttb_ops.extension_sizes(self.sizes)
+        return ext[:-1] + (bttb_ops.rfft_len(ext),)
+
+    def grid_matvec(self, u):
+        """K_UU u for this group: u (..., D*m) -> (..., D*m)."""
+        sizes = self.sizes
+        m = int(np.prod(sizes))
+        d = self.D
+        batch = u.shape[:-1]
+        fsh = self.fourier_shape()
+        F = int(np.prod(fsh))
+
+        x = u.reshape(batch + (d, m))
+        vhat = bttb_ops.operand_fft(x, sizes)  # (..., d, *fsh)
+        vf = vhat.reshape(batch + (d, F))
+
+        if self.rep == "sum":
+            g = jnp.einsum("qde,qf,...ef->...df", self.B, self.That, vf)
+        elif self.rep == "bt":
+            g = jnp.einsum("def,...ef->...df", self.BThat, vf)
+        elif self.rep == "slfm":
+            proj = jnp.einsum("dr,...df->...rf", self.A, vf)
+            proj = proj * self.That_rep
+            g = jnp.einsum("dr,...rf->...df", self.A, proj)
+            g = g + self.diag_That * vf
+        else:  # pragma: no cover
+            raise AssertionError(self.rep)
+
+        ghat = g.reshape(batch + (d,) + fsh)
+        out = bttb_ops.operand_ifft(ghat, sizes)  # (..., d, m)
+        return out.reshape(batch + (d * m,))
+
+    def matvec(self, x):
+        """Full SKI term W K_UU W^T x: (..., n) -> (..., n)."""
+        u = self.interp.rmatvec(x)
+        return self.interp.matvec(self.grid_matvec(u))
+
+
+def build_group_state(
+    spec: LMCKernelSpec, raw_params, plan: GridPlan, dists, interp: Interp
+) -> GroupState:
+    """Evaluate kernels on the grid and assemble the Fourier-space
+    contraction state for one group (parameter-dependent; runs under jit
+    once per optimization step)."""
+    kidxs = plan.kidxs
+    sizes = plan.sizes
+    tops = spec.eval_kernels_stacked(raw_params, dists, kidxs)  # (Qg, m)
+    that = bttb_ops.bttb_fft(tops, sizes).reshape(len(kidxs), -1)  # (Qg, F)
+
+    kwargs = dict(
+        sizes=sizes, rep=plan.rep, interp=interp, grid_tops=tops
+    )
+    if plan.rep == "sum":
+        kwargs["B"] = spec.coreg_mats(raw_params, kidxs)
+    elif plan.rep == "bt":
+        B = spec.coreg_mats(raw_params, kidxs)
+        kwargs["BThat"] = jnp.einsum("qde,qf->def", B, that)
+    elif plan.rep == "slfm":
+        non_indep = spec.non_indep_idxs(kidxs)
+        pos_of = {q: i for i, q in enumerate(kidxs)}
+        if non_indep:
+            a_blocks = [spec.coreg_vec(raw_params, q) for q in non_indep]
+            A_star = jnp.concatenate(a_blocks, axis=0).T  # (D, R_tot)
+            reps = []
+            for q in non_indep:
+                reps.extend([pos_of[q]] * spec.ranks[q])
+            That_rep = that[jnp.asarray(np.asarray(reps, np.int32))]
+        else:
+            A_star = jnp.zeros((spec.D, 1), dtype=tops.dtype)
+            That_rep = jnp.zeros((1, that.shape[1]), dtype=that.dtype)
+        kappa = jnp.stack(
+            [spec.coreg_diag(raw_params, q) for q in kidxs]
+        )  # (Qg, D)
+        kwargs["A"] = A_star
+        kwargs["That_rep"] = That_rep
+        kwargs["diag_That"] = jnp.einsum("qd,qf->df", kappa, that)
+    else:  # pragma: no cover
+        raise AssertionError(plan.rep)
+    kwargs["That"] = that
+    return GroupState(**kwargs)
+
+
+@flax.struct.dataclass
+class KSKI(LinearOperator):
+    """The full SKI LMC covariance operator over the stacked data vector:
+
+        K = sum_groups W_g K_UU_g W_g^T + diag(noise per point)
+
+    (parity: gen_grid_kernel's SumMatrix-of-GridKernels + noise Diag,
+    runlmc/lmc/grid_kernel.py:49-74). A differentiable pytree: feed it to
+    the batched solvers, autodiff through its matvec for gradients.
+    """
+
+    groups: Any  # tuple of GroupState
+    noise_n: Any  # (n,) per-data-point noise
+
+    @property
+    def shape(self):
+        n = self.noise_n.shape[0]
+        return (n, n)
+
+    def matvec(self, x):
+        out = self.noise_n * x
+        for g in self.groups:
+            out = out + g.matvec(x)
+        return out
+
+    def upper_eig_bound(self):
+        bound = float(jnp.max(self.noise_n))
+        for g in self.groups:
+            m = int(np.prod(g.sizes))
+            n = self.noise_n.shape[0]
+            # crude SKI bound (parity in spirit with ski.py:22-23)
+            gb = 0.0
+            if g.rep == "sum":
+                for q in range(g.grid_tops.shape[0]):
+                    gb += float(
+                        jnp.abs(g.B[q]).sum()
+                        * bttb_ops.bttb_eig_upper_bound(
+                            np.asarray(g.grid_tops[q]), g.sizes
+                        )
+                    )
+            else:
+                gb = float(
+                    sum(
+                        bttb_ops.bttb_eig_upper_bound(
+                            np.asarray(t), g.sizes
+                        )
+                        for t in np.asarray(g.grid_tops)
+                    )
+                )
+            bound += gb * n / m
+        return bound
+
+
+def build_kski(spec: LMCKernelSpec, raw_params, grid_data, lens) -> KSKI:
+    """Assemble the full covariance operator state from raw parameters
+    (runs under jit; rebuilt each optimization step — parity with
+    parameters_changed -> gen_grid_kernel, interpolated_llgp.py:192-200)."""
+    groups = tuple(
+        build_group_state(
+            spec, raw_params, gd.plan, jnp.asarray(gd.dists), gd.interp
+        )
+        for gd in grid_data
+    )
+    noise = spec.noise(raw_params)
+    noise_n = jnp.repeat(
+        noise, jnp.asarray(np.asarray(lens)), total_repeat_length=int(sum(lens))
+    )
+    return KSKI(groups=groups, noise_n=noise_n)
