@@ -22,5 +22,33 @@ This is a from-scratch rebuild of the capabilities of vlad17/runlmc
 __version__ = "0.1.0"
 
 from runlmc_tpu import config
+from runlmc_tpu.kernels import (
+    RBF,
+    IdentityKern,
+    Matern32,
+    Scaled,
+    StdPeriodic,
+)
+from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
+from runlmc_tpu.metrics import Metrics
+from runlmc_tpu.models import AdaDelta, ExactLMC, InterpolatedLLGP, MultiGP
+from runlmc_tpu.priors import Gamma, Gaussian, HalfLaplace, InverseGamma
 
-__all__ = ["config"]
+__all__ = [
+    "config",
+    "RBF",
+    "Matern32",
+    "StdPeriodic",
+    "IdentityKern",
+    "Scaled",
+    "LMCKernelSpec",
+    "Metrics",
+    "MultiGP",
+    "InterpolatedLLGP",
+    "ExactLMC",
+    "AdaDelta",
+    "Gaussian",
+    "Gamma",
+    "InverseGamma",
+    "HalfLaplace",
+]

@@ -1,0 +1,209 @@
+"""LMC likelihoods: exact dense path + stochastic matrix-free gradients.
+
+The reference hand-derives dK/dtheta per hyperparameter and loops over
+O(Q D (r+1) + sum_q p_q + D) derivative operators
+(runlmc/lmc/likelihood.py:20-134, exact_deriv.py, stochastic_deriv.py).
+Here both paths are *autodiff*:
+
+- **Exact** (oracle / small n / reported log-likelihood): materialize the
+  dense LMC kernel, Cholesky-factor it, and let JAX differentiate the
+  closed-form MLL. One ``jax.value_and_grad`` replaces the reference's
+  entire gradient-assembly machinery.
+
+- **Stochastic matrix-free** (the training hot path): gradients of the
+  MLL are
+
+      dLL/dt = 1/2 (alpha^T dK/dt alpha - tr(K^-1 dK/dt)),
+      alpha = K^-1 y,
+
+  with the trace estimated by Hutchinson probes r_i ~ Rademacher:
+  tr(K^-1 dK/dt) ~= mean_i (K^-1 r_i)^T dK/dt r_i (Cutajar 2016; parity:
+  runlmc/lmc/stochastic_deriv.py:69-78). We build a *surrogate scalar*
+
+      s(theta) = 1/2 alpha_d^T K(theta) alpha_d
+                 - 1/(2 N) sum_i z_i^T K(theta) r_i,
+
+  where alpha_d = stopgrad(K^-1 y) and z_i = stopgrad(K^-1 r_i) come from
+  ONE batched multi-RHS solve. Then grad(s) is exactly the stochastic
+  MLL gradient estimate — for every hyperparameter at once, via autodiff
+  through the fused Fourier-space matvec. The 1 + N solves that the
+  reference scatters over a process pool (stochastic_deriv.py:39-52)
+  become one batched (and mesh-shardable) Krylov solve.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runlmc_tpu.lmc.grid import build_kski
+from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
+from runlmc_tpu.ops.solvers import batched_cg, batched_minres
+
+
+# --------------------------------------------------------------------------
+# Data flattening (host-side)
+# --------------------------------------------------------------------------
+
+
+class FlatData(NamedTuple):
+    """Stacked multi-output data: the reference keeps ragged per-output
+    lists (multigp.py); fixed shapes want one concatenated design."""
+
+    X: np.ndarray  # (n, P)
+    y: np.ndarray  # (n,)
+    lens: tuple  # per-output lengths (static)
+    output_idx: np.ndarray  # (n,) int32, which output each row belongs to
+
+
+def flatten_data(Xs, Ys):
+    Xs = [np.asarray(X, dtype=float) for X in Xs]
+    Xs = [X.reshape(-1, 1) if X.ndim == 1 else X for X in Xs]
+    lens = tuple(len(X) for X in Xs)
+    X = np.concatenate(Xs, axis=0) if Xs else np.zeros((0, 1))
+    y = np.concatenate([np.asarray(Y, dtype=float) for Y in Ys])
+    oidx = np.repeat(np.arange(len(Xs), dtype=np.int32), lens)
+    return FlatData(X=X, y=y, lens=lens, output_idx=oidx)
+
+
+# --------------------------------------------------------------------------
+# Exact dense path
+# --------------------------------------------------------------------------
+
+
+def pairwise_dists(Xa, Xb, dims):
+    """Euclidean distances between rows of Xa, Xb restricted to ``dims``
+    (parity: ExactLMCLikelihood._gen_dists, likelihood.py:170-177)."""
+    a = Xa[:, list(dims)]
+    b = Xb[:, list(dims)]
+    d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def cross_kernel(spec: LMCKernelSpec, raw_params, Xa, oidx_a, Xb, oidx_b):
+    """Dense LMC cross-covariance K[a, b] (no noise) — parity:
+    ExactLMCLikelihood.kernel_from_indices (likelihood.py:179-200)."""
+    K = 0.0
+    for active_dim, kidxs in spec.active_dims.items():
+        dists = pairwise_dists(Xa, Xb, active_dim)
+        for q in kidxs:
+            a = spec.coreg_vec(raw_params, q)
+            Bq = a.T @ a + jnp.diag(spec.coreg_diag(raw_params, q))
+            scale = Bq[oidx_a][:, oidx_b]  # (na, nb) block scaling
+            K = K + scale * spec.eval_kernel(raw_params, q, dists)
+    return K
+
+
+def exact_dense_K(spec: LMCKernelSpec, raw_params, X, oidx):
+    """Full dense LMC kernel with noise (parity: ExactLMCLikelihood
+    construction, likelihood.py:137-151)."""
+    K = cross_kernel(spec, raw_params, X, oidx, X, oidx)
+    noise = spec.noise(raw_params)[oidx]
+    return K + jnp.diag(noise)
+
+
+def exact_mll(spec: LMCKernelSpec, raw_params, X, oidx, y):
+    """Exact marginal log-likelihood
+    -1/2 (y^T K^-1 y + log det K + n log 2 pi); autodiff it for the
+    oracle gradient path (replaces ExactDeriv, exact_deriv.py:9-23)."""
+    K = exact_dense_K(spec, raw_params, X, oidx)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    n = y.shape[0]
+    return -0.5 * (y @ alpha + logdet + n * jnp.log(2 * jnp.pi))
+
+
+def exact_chol(spec, raw_params, X, oidx):
+    K = exact_dense_K(spec, raw_params, X, oidx)
+    return jnp.linalg.cholesky(K)
+
+
+# --------------------------------------------------------------------------
+# Stochastic matrix-free path
+# --------------------------------------------------------------------------
+
+
+def rademacher_probes(key, n_probes, n, dtype):
+    """Fresh +-1 probes per step (parity: stochastic_deriv.py:35)."""
+    return (
+        jax.random.bernoulli(key, 0.5, (n_probes, n)).astype(dtype) * 2.0
+        - 1.0
+    )
+
+
+class StochasticAux(NamedTuple):
+    alpha: jax.Array  # (n,) K^-1 y
+    solve_iters: jax.Array  # mean solver iterations (scalar)
+    solve_error: jax.Array  # mean reconstruction error (scalar)
+    quad: jax.Array  # y^T alpha (normal quadratic, for reporting)
+
+
+def stochastic_mll_surrogate(
+    spec: LMCKernelSpec,
+    raw_params,
+    grid_data,
+    lens,
+    y,
+    probes,
+    tol=1e-4,
+    maxiter=None,
+    method="minres",
+):
+    """Scalar whose autodiff gradient is the stochastic MLL gradient.
+
+    Returns (surrogate, StochasticAux). Differentiate with
+    ``jax.grad(..., has_aux=True)``. The surrogate's *value* is not the
+    log-likelihood (use :func:`exact_mll` or a logdet estimator for
+    reporting); only its gradient is meaningful.
+    """
+    # Solve K^-1 [y, r_1..r_N] with gradients blocked: the Krylov loop is
+    # not differentiated (and need not be — the estimator only needs the
+    # solutions as constants).
+    solve_params = jax.lax.stop_gradient(raw_params)
+    K_ng = build_kski(spec, solve_params, grid_data, lens)
+    rhs = jnp.concatenate([y[None], probes], axis=0)
+    solver = batched_minres if method == "minres" else batched_cg
+    res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter)
+    sols = jax.lax.stop_gradient(res.x)
+    alpha = sols[0]
+    zs = sols[1:]
+
+    # Differentiable covariance application.
+    K = build_kski(spec, raw_params, grid_data, lens)
+    operands = jnp.concatenate([alpha[None], probes], axis=0)
+    applied = K.matvec(operands)
+    quad_term = 0.5 * alpha @ applied[0]
+    n_probes = probes.shape[0]
+    trace_term = jnp.einsum("in,in->", zs, applied[1:]) / n_probes
+    surrogate = quad_term - 0.5 * trace_term
+
+    aux = StochasticAux(
+        alpha=alpha,
+        solve_iters=jnp.mean(res.iterations.astype(jnp.float32)),
+        solve_error=jnp.mean(res.error),
+        quad=y @ alpha,
+    )
+    return surrogate, aux
+
+
+def log_prior_term(prior_specs, raw_params):
+    """Sum of prior log-densities + transform log-Jacobians over the raw
+    parameter pytree (parity: runlmc/parameterization/model.py:79-105).
+
+    ``prior_specs``: list of (path, prior, transform) where ``path`` is a
+    tuple of pytree keys addressing a leaf of ``raw_params``.
+    """
+    total = 0.0
+    for path, prior, transform in prior_specs:
+        leaf = raw_params
+        for k in path:
+            leaf = leaf[k]
+        value = transform.forward(jnp.asarray(leaf))
+        total = (
+            total
+            + jnp.sum(prior.lnpdf(value))
+            + jnp.sum(transform.log_jacobian(jnp.asarray(leaf)))
+        )
+    return total

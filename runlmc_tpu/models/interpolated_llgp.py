@@ -1,0 +1,500 @@
+"""InterpolatedLLGP — the flagship model: matrix-free SKI LMC multi-output
+GP (functional parity: runlmc/models/interpolated_llgp.py:29-443).
+
+TPU-native structure:
+
+- ONE jitted gradient step: probe generation, the (1 + n_it)-RHS batched
+  Krylov solve, and autodiff of the stochastic MLL surrogate all fuse
+  into a single XLA program (the reference runs a process pool of scipy
+  solves plus Python gradient-assembly loops per step).
+- Parameters are a raw pytree; the optimizer sees a flat vector via
+  ``ravel_pytree`` (the analog of paramz's ``param_array``).
+- Prediction modes 'exact' / 'on-the-fly' / 'precompute' mirror the
+  reference's (interpolated_llgp.py:317-397), with the per-column /
+  per-grid-point pooled solves replaced by single batched solver calls.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+from runlmc_tpu.lmc import likelihood as lk
+from runlmc_tpu.lmc.grid import build_kski, make_grids
+from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
+from runlmc_tpu.metrics import Metrics
+from runlmc_tpu.models.multigp import MultiGP
+from runlmc_tpu.models.optimization import EVAL_NORM, AdaDelta
+from runlmc_tpu.ops.interpolation import multi_interpolant
+from runlmc_tpu.ops.solvers import batched_cg, batched_minres
+from runlmc_tpu.params import IDENTITY, POSITIVE
+from runlmc_tpu.priors import check_domain
+
+_LOG = logging.getLogger(__name__)
+
+
+class InterpolatedLLGP(MultiGP):
+    """Matrix-free LMC multi-output GP with SKI covariance approximation.
+
+    :param Xs, Ys: per-output ragged data (see :class:`MultiGP`)
+    :param functional_kernel: an :class:`LMCKernelSpec`
+    :param lo, hi, m: optional per-dim grid bounds / sizes (autogrid
+        defaults, parity interpolated_llgp.py:128-132)
+    :param prediction: 'on-the-fly' | 'precompute' | 'exact'
+    :param trace_iterations: Hutchinson probes per gradient (default 15)
+    :param tolerance: Krylov solve tolerance (default 1e-4)
+    :param solver: 'minres' (reference default) or 'cg'
+    :param metrics: record per-step diagnostics incl. exact-gradient
+        comparison (slow; parity interpolated_llgp.py:228-244)
+    :param seed: seed for parameter init and probe RNG
+    :param dtype: computation dtype (None = follow jax x64 setting)
+    """
+
+    EVAL_NORM = EVAL_NORM
+
+    def __init__(
+        self,
+        Xs,
+        Ys,
+        normalize=True,
+        lo=None,
+        hi=None,
+        m=None,
+        name="lmc",
+        metrics=False,
+        prediction="on-the-fly",
+        trace_iterations=15,
+        tolerance=1e-4,
+        solver="minres",
+        functional_kernel=None,
+        seed=0,
+        dtype=None,
+        max_procs=None,  # accepted for API compatibility; parallelism
+        # is the device mesh, not processes
+    ):
+        super().__init__(Xs, Ys, normalize=normalize, name=name)
+        if functional_kernel is None:
+            raise ValueError("functional_kernel must be provided")
+        if prediction not in self._prediction_methods():
+            raise ValueError(
+                "Variance prediction method {} unrecognized".format(
+                    prediction
+                )
+            )
+        del max_procs
+
+        self.prediction = prediction
+        self.spec: LMCKernelSpec = functional_kernel.with_input_dim(
+            self.input_dim
+        )
+        self.dtype = dtype or (
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        )
+        self.n_probes = int(trace_iterations)
+        self.tolerance = float(tolerance)
+        self.solver = solver
+
+        self.data = lk.flatten_data(self.Xs, self.Ys)
+        self.y = jnp.asarray(self.data.y, dtype=self.dtype)
+        self.grid_data = make_grids(self.spec, self.Xs, lo, hi, m)
+        for gd in self.grid_data:
+            gd.dists = np.asarray(gd.dists, dtype=self.dtype)
+            _LOG.info(
+                "InterpolatedLLGP %s generated grid (n=%d, m=%d) for "
+                "active dims %s",
+                name,
+                len(self.data.y),
+                int(np.prod(gd.plan.sizes)),
+                gd.plan.active_dim,
+            )
+
+        raw = self.spec.init_raw_params(seed=seed)
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.dtype), raw
+        )
+        flat, unravel = ravel_pytree(self.params)
+        self._unravel = unravel
+        self.n_params = flat.shape[0]
+
+        self._key = jax.random.PRNGKey(seed)
+        self._prior_specs = []
+        self.metrics = Metrics() if metrics else None
+        self._cache = {}
+        self._version = 0
+        self._build_jit()
+        _LOG.info("InterpolatedLLGP %s fully initialized", name)
+
+    # --------------------------------------------------------------- utils
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _bump(self):
+        self._version += 1
+        self._cache.clear()
+
+    def set_params(self, params):
+        self.params = params
+        self._bump()
+
+    @property
+    def param_array(self):
+        """Flat raw-parameter vector (the analog of paramz
+        ``param_array``)."""
+        flat, _ = ravel_pytree(self.params)
+        return np.asarray(flat)
+
+    @param_array.setter
+    def param_array(self, x):
+        self.set_params(self._unravel(jnp.asarray(x, dtype=self.dtype)))
+
+    def _solver_fn(self):
+        return batched_minres if self.solver == "minres" else batched_cg
+
+    # ----------------------------------------------------------------- jit
+
+    def _build_jit(self):
+        spec = self.spec
+        grid_data = self.grid_data
+        lens = self.data.lens
+        y = self.y
+        n = y.shape[0]
+        tol = self.tolerance
+        method = self.solver
+        n_probes = self.n_probes
+        unravel = self._unravel
+        prior_specs = tuple(self._prior_specs)
+        X = jnp.asarray(self.data.X, dtype=self.dtype)
+        oidx = jnp.asarray(self.data.output_idx)
+
+        @jax.jit
+        def grad_fn(x_flat, key):
+            params = unravel(x_flat)
+            probes = lk.rademacher_probes(key, n_probes, n, y.dtype)
+
+            def objective(p):
+                s, aux = lk.stochastic_mll_surrogate(
+                    spec, p, grid_data, lens, y, probes,
+                    tol=tol, method=method,
+                )
+                if prior_specs:
+                    s = s + lk.log_prior_term(prior_specs, p)
+                return -s, aux
+
+            (_, aux), g = jax.value_and_grad(objective, has_aux=True)(
+                params
+            )
+            gflat, _ = ravel_pytree(g)
+            return gflat, aux
+
+        @jax.jit
+        def alpha_fn(params):
+            K = build_kski(spec, params, grid_data, lens)
+            res = self._solver_fn()(K.matvec, y[None], tol=tol, maxiter=n)
+            return res.x[0], res.iterations[0], res.error[0]
+
+        @jax.jit
+        def grid_alpha_fn(params, alpha):
+            K = build_kski(spec, params, grid_data, lens)
+            return tuple(
+                g.grid_matvec(g.interp.rmatvec(alpha)) for g in K.groups
+            )
+
+        @jax.jit
+        def native_variance_fn(params):
+            k0 = jnp.stack(
+                [
+                    spec.eval_kernel(params, q, jnp.zeros((), y.dtype))
+                    for q in range(spec.Q)
+                ]
+            )
+            coregs = jnp.stack(
+                [
+                    jnp.square(spec.coreg_vec(params, q)).sum(0)
+                    + spec.coreg_diag(params, q)
+                    for q in range(spec.Q)
+                ],
+                axis=1,
+            )  # (D, Q)
+            return coregs @ k0 + spec.noise(params)
+
+        @jax.jit
+        def exact_chol_fn(params):
+            return lk.exact_chol(spec, params, X, oidx)
+
+        @jax.jit
+        def exact_value_and_grad_fn(x_flat):
+            params = unravel(x_flat)
+
+            def objective(p):
+                ll = lk.exact_mll(spec, p, X, oidx, y)
+                if prior_specs:
+                    ll = ll + lk.log_prior_term(prior_specs, p)
+                return -ll
+
+            val, g = jax.value_and_grad(objective)(params)
+            gflat, _ = ravel_pytree(g)
+            return val, gflat
+
+        self._jit_grad = grad_fn
+        self._jit_alpha = alpha_fn
+        self._jit_grid_alpha = grid_alpha_fn
+        self._jit_native_variance = native_variance_fn
+        self._jit_exact_chol = exact_chol_fn
+        self._jit_exact_value_and_grad = exact_value_and_grad_fn
+
+    # ---------------------------------------------------------- priors API
+
+    def set_prior(self, path, prior):
+        """Place a prior on the constrained value of the parameter leaf at
+        ``path`` (tuple of pytree keys, e.g. ``('noise',)`` or
+        ``('kernels', 'q0', 'inv_lengthscale')``). Parity:
+        PriorizableLeaf.set_prior (priorizable.py:41-78)."""
+        transform = self._transform_for_path(path)
+        check_domain(prior, transform)
+        self._prior_specs.append((tuple(path), prior, transform))
+        self._build_jit()
+        self._bump()
+
+    def _transform_for_path(self, path):
+        if path[0] in ("noise", "coreg_diags"):
+            return POSITIVE
+        if path[0] == "coreg_vecs":
+            return IDENTITY
+        if path[0] == "kernels":
+            q = int(path[1][1:])
+            pspec = self.spec.kernels[q].param_spec()
+            return pspec[path[2]][1]
+        raise KeyError(path)
+
+    # ------------------------------------------------------------ training
+
+    def optimize(self, optimizer=None, **kwargs):
+        """Run AdaDelta (default, reference-parity stopping rule) on the
+        stochastic MLL gradient. Extra kwargs construct the default
+        optimizer. KeyboardInterrupt cleanly stops with current params
+        (parity: multigp.py:194-197)."""
+        if optimizer is None:
+            optimizer = AdaDelta(**kwargs)
+        if self.metrics is not None:
+            self.metrics = Metrics()
+
+        def fprime(x_flat):
+            g, aux = self._jit_grad(
+                jnp.asarray(x_flat, dtype=self.dtype), self._next_key()
+            )
+            if self.metrics is not None:
+                self._record_metrics(x_flat, g, aux)
+            return np.asarray(g, dtype=float)
+
+        x0 = self.param_array
+        try:
+            x_opt, info = optimizer.minimize(x0, fprime)
+        except KeyboardInterrupt:
+            print(
+                "{}: KeyboardInterrupt caught, terminating "
+                "optimization.".format(self.name)
+            )
+            raise
+        self.param_array = x_opt
+        return info
+
+    def _record_metrics(self, x_flat, g, aux):
+        self.metrics.iterations.append(float(aux.solve_iters))
+        self.metrics.solv_error.append(float(aux.solve_error))
+        approx_norm = float(np.linalg.norm(np.asarray(g), EVAL_NORM))
+        val, exact_g = self._jit_exact_value_and_grad(
+            jnp.asarray(x_flat, dtype=self.dtype)
+        )
+        exact_norm = float(np.linalg.norm(np.asarray(exact_g), EVAL_NORM))
+        diff = float(
+            np.linalg.norm(np.asarray(g) - np.asarray(exact_g), EVAL_NORM)
+        )
+        self.metrics.grad_norms.append(approx_norm)
+        self.metrics.grad_error.append(diff / max(exact_norm, 1e-300))
+        self.metrics.log_likely.append(-float(val))
+
+    # ----------------------------------------------------------- reporting
+
+    def _alpha(self):
+        if "alpha" not in self._cache:
+            alpha, iters, err = self._jit_alpha(self.params)
+            if float(err) > self.tolerance:
+                _LOG.critical(
+                    "solve (n = %d) did not converge: reconstruction "
+                    "error %e",
+                    self.y.shape[0],
+                    float(err),
+                )
+            self._cache["alpha"] = alpha
+        return self._cache["alpha"]
+
+    def _chol(self):
+        if "chol" not in self._cache:
+            self._cache["chol"] = self._jit_exact_chol(self.params)
+        return self._cache["chol"]
+
+    def K(self):
+        """Dense exact kernel (quadratic; reporting/debug only — parity:
+        interpolated_llgp.py:252-260)."""
+        return np.asarray(
+            lk.exact_dense_K(
+                self.spec,
+                self.params,
+                jnp.asarray(self.data.X, dtype=self.dtype),
+                jnp.asarray(self.data.output_idx),
+            )
+        )
+
+    def log_det_K(self):
+        """Exact-Cholesky log determinant (reporting only, O(n^3) —
+        parity: interpolated_llgp.py:262-276)."""
+        diag = np.asarray(jnp.diagonal(self._chol()))
+        if np.any(diag <= 0) or np.any(~np.isfinite(diag)):
+            _LOG.critical(
+                "Log determinant nonpositive, returning -inf"
+            )
+            return -np.inf
+        return float(2.0 * np.log(diag).sum())
+
+    def normal_quadratic(self):
+        """y^T K_SKI^-1 y (parity: interpolated_llgp.py:278-285)."""
+        return float(self.y @ self._alpha())
+
+    def log_likelihood(self):
+        """-1/2 (log det K + y^T K^-1 y + n log 2pi): exact logdet +
+        matrix-free quadratic (parity: interpolated_llgp.py:287-290)."""
+        nll = self.log_det_K() + self.normal_quadratic()
+        nll += len(self.data.y) * np.log(2 * np.pi)
+        return -0.5 * nll
+
+    def exact_log_likelihood_and_grad(self):
+        """Fully-exact MLL value and flat gradient (dense autodiff path —
+        the oracle the reference calls ExactLMCLikelihood)."""
+        val, g = self._jit_exact_value_and_grad(
+            jnp.asarray(self.param_array, dtype=self.dtype)
+        )
+        return -float(val), -np.asarray(g)
+
+    def stochastic_grad(self):
+        """One stochastic-gradient evaluation (of the MINIMIZED objective,
+        i.e. the negative penalized MLL), flat."""
+        g, _ = self._jit_grad(
+            jnp.asarray(self.param_array, dtype=self.dtype),
+            self._next_key(),
+        )
+        return np.asarray(g)
+
+    # ---------------------------------------------------------- prediction
+
+    def _prediction_methods(self):
+        return {
+            "on-the-fly": self._var_predict_on_the_fly,
+            "precompute": self._var_predict_precompute,
+            "exact": self._var_predict_exact,
+        }
+
+    def _raw_predict(self, Xs):
+        lens = [len(X) for X in Xs]
+        total = int(sum(lens))
+        alpha = self._alpha()
+        grid_alphas = self._jit_grid_alpha(self.params, alpha)
+
+        mean = np.zeros(total)
+        prediction_W = {}
+        for gd, galpha in zip(self.grid_data, grid_alphas):
+            dims = list(gd.plan.active_dim)
+            Xs_active = [np.asarray(X)[:, dims] for X in Xs]
+            W = multi_interpolant(Xs_active, gd.axes)
+            prediction_W[gd.plan.active_dim] = W
+            mean += np.asarray(W.matvec(galpha))
+
+        native = np.asarray(self._jit_native_variance(self.params))
+        native = np.repeat(native, lens)
+
+        explained = self._prediction_methods()[self.prediction](
+            prediction_W, Xs
+        )
+        var = native - np.asarray(explained)
+        var[var < 0] = 0
+
+        ends = np.cumsum(lens)[:-1]
+        return np.split(mean, ends), np.split(var, ends)
+
+    def _test_flat(self, Xs):
+        td = lk.flatten_data(Xs, [np.zeros(len(X)) for X in Xs])
+        return (
+            jnp.asarray(td.X, dtype=self.dtype),
+            jnp.asarray(td.output_idx),
+        )
+
+    def _cross_kernel(self, Xs):
+        Xt, ot = self._test_flat(Xs)
+        return lk.cross_kernel(
+            self.spec,
+            self.params,
+            Xt,
+            ot,
+            jnp.asarray(self.data.X, dtype=self.dtype),
+            jnp.asarray(self.data.output_idx),
+        )
+
+    def _var_predict_exact(self, _, Xs):
+        """Dense explained variance via exact Cholesky (parity:
+        interpolated_llgp.py:350-356)."""
+        K_test_X = self._cross_kernel(Xs)
+        L = self._chol()
+        sol = jax.scipy.linalg.cho_solve((L, True), K_test_X.T)
+        return np.asarray(jnp.sum(K_test_X * sol.T, axis=1))
+
+    def _var_predict_on_the_fly(self, _, Xs):
+        """Batched solves against every test column at once (parity:
+        interpolated_llgp.py:390-397, which pools one scipy solve per
+        test point)."""
+        K_test_X = self._cross_kernel(Xs)
+        if K_test_X.shape[0] == 0:
+            return np.zeros(0)
+        K = build_kski(
+            self.spec, self.params, self.grid_data, self.data.lens
+        )
+        res = self._solver_fn()(
+            K.matvec, K_test_X, tol=self.tolerance,
+            maxiter=self.y.shape[0],
+        )
+        return np.asarray(jnp.sum(K_test_X * res.x, axis=1))
+
+    def _precomputed_nu(self):
+        """nu_j = [K_UX K^-1 K_XU]_jj for every grid point j, via one
+        batched (D m)-RHS solve (parity: interpolated_llgp.py:358-388,
+        which pools D*m independent scipy solves)."""
+        if "nu" not in self._cache:
+            if len(self.grid_data) != 1:
+                raise ValueError(
+                    "precompute prediction mode unavailable for split "
+                    "kernels"
+                )
+            gd = self.grid_data[0]
+            K = build_kski(
+                self.spec, self.params, self.grid_data, self.data.lens
+            )
+            g = K.groups[0]
+            dm = gd.interp.ncols
+            eye = jnp.eye(dm, dtype=self.dtype)
+            KUU = g.grid_matvec(eye)  # dense (Dm, Dm), symmetric
+            rhs = g.interp.matvec(KUU)  # rows: K_XU columns, (Dm, n)
+            res = self._solver_fn()(
+                K.matvec, rhs, tol=self.tolerance,
+                maxiter=self.y.shape[0],
+            )
+            back = g.grid_matvec(g.interp.rmatvec(res.x))  # (Dm, Dm)
+            self._cache["nu"] = np.asarray(jnp.diagonal(back))
+        return self._cache["nu"]
+
+    def _var_predict_precompute(self, prediction_W, _):
+        nu = self._precomputed_nu()
+        assert len(prediction_W) == 1
+        W = next(iter(prediction_W.values()))
+        return np.asarray(W.matvec(jnp.asarray(nu)))

@@ -1,0 +1,121 @@
+"""AdaDelta optimizer with the reference's custom stopping rule.
+
+The reference drives climin's Adadelta through paramz
+(runlmc/models/optimization.py:13-83). The published wall-clocks depend
+on its exact semantics, so both the update rule (climin-style Adadelta
+with Nesterov-like momentum pre-step) and the stopping rule (rolling-max
+infinity-norm gradient with permitted drops,
+optimization.py:59-83) are reproduced here over flat numpy vectors; the
+gradient oracle itself is a jitted JAX function supplied by the model.
+
+Defaults match the reference: step_rate=1, decay=0.9, momentum=0.5,
+offset=1e-4, max_it=100, min_grad_ratio=0.1, permitted_drops=5.
+"""
+
+import logging
+
+import numpy as np
+
+_LOG = logging.getLogger(__name__)
+
+EVAL_NORM = np.inf  # parity: InterpolatedLLGP.EVAL_NORM
+
+
+def _noop():
+    pass
+
+
+class AdaDelta:
+    def __init__(
+        self,
+        step_rate=1.0,
+        decay=0.9,
+        momentum=0.5,
+        offset=1e-4,
+        max_it=100,
+        verbosity=0,
+        min_grad_ratio=0.1,
+        permitted_drops=5,
+        callback=_noop,
+    ):
+        self.step_rate = step_rate
+        self.decay = decay
+        self.momentum = momentum
+        self.offset = offset
+        self.max_it = max_it
+        self.verbosity = verbosity
+        self.min_grad_ratio = min_grad_ratio
+        self.permitted_drops = permitted_drops
+        self.callback = callback
+
+    def minimize(self, x0, fprime):
+        """Minimize an objective given only its gradient ``fprime(x)``.
+
+        Returns (x_opt, info dict with n_iter / final grad norm /
+        grad-norm history).
+        """
+        x = np.array(x0, dtype=float, copy=True)
+        gms = np.zeros_like(x)  # running mean of squared gradients
+        sms = np.zeros_like(x)  # running mean of squared steps
+        step = np.zeros_like(x)
+
+        rolling_max = 0.0
+        drops = self.permitted_drops
+        n_iter = 0
+        grad_norms = []
+
+        if self.verbosity:
+            print("starting adadelta", vars(self))
+        printing_delta = (
+            max(self.max_it // self.verbosity, 1) if self.verbosity else 0
+        )
+
+        while True:
+            # Momentum pre-step (Nesterov style), gradient at the
+            # shifted point, then the adadelta-scaled step.
+            step1 = step * self.momentum
+            x -= step1
+
+            grad = np.asarray(fprime(x), dtype=float)
+
+            gms = self.decay * gms + (1.0 - self.decay) * grad**2
+            step2 = (
+                np.sqrt(sms + self.offset)
+                / np.sqrt(gms + self.offset)
+                * grad
+                * self.step_rate
+            )
+            x -= step2
+            step = step1 + step2
+            sms = self.decay * sms + (1.0 - self.decay) * step**2
+            n_iter += 1
+
+            grad_norm = float(np.linalg.norm(grad, EVAL_NORM))
+            grad_norms.append(grad_norm)
+            rolling_max = max(grad_norm, rolling_max)
+
+            if self.verbosity and n_iter % printing_delta == 0:
+                print(
+                    "iteration {:8d} grad norm {:10.4e}".format(
+                        n_iter, grad_norm
+                    )
+                )
+            self.callback()
+
+            if grad_norm < self.min_grad_ratio * rolling_max:
+                drops -= 1
+
+            if n_iter >= self.max_it or drops <= 0:
+                break
+
+        if self.verbosity:
+            print(
+                "finished adadelta optimization\n"
+                "    {:10d} iterations\n"
+                "    {:10.4e} final grad norm".format(n_iter, grad_norm)
+            )
+        return x, {
+            "n_iter": n_iter,
+            "grad_norm": grad_norm,
+            "grad_norms": grad_norms,
+        }
