@@ -1,0 +1,178 @@
+"""Headline benchmark: fx2007 train wall-clock vs the reference CPU
+baseline (BASELINE.md: LLGP 69.11 s mean on 16 Xeon threads).
+
+Reproduces the reference benchmark protocol
+(benchmarks/asv/fx2007/fx2007.py:77-86 + benchlib bench_runlmc):
+D=13 FX outputs, n~3054, Q=1 rank-2 RBF LMC kernel, m=234 grid,
+AdaDelta(min_grad_ratio=0.2, max_it=100), normalize=True; the timed
+section is ``optimize()`` only (model construction excluded there;
+correspondingly, one-off XLA compilation is warmed up outside the timed
+section here). SMSE/NLPD are computed on the CAD/JPY/AUD holdouts.
+
+Prints ONE JSON line:
+  {"metric": "fx2007_train_s", "value": <mean seconds>, "unit": "s",
+   "vs_baseline": <baseline_seconds / value, i.e. speedup factor >1 is
+   better>, ...extras}
+
+Usage: python bench.py [--runs N] [--benchmark fx2007|weather|synth]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Persistent XLA compilation cache: amortizes the one-off compile of the
+# fused training step across bench invocations on the same machine.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+BASELINES = {
+    # mean train seconds from BASELINE.md (reference hardware)
+    "fx2007": 69.11,
+    "weather": 73.17,  # m=500 config
+    "synth": 161.0,
+}
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_fx2007(m=None):
+    from runlmc_tpu import LMCKernelSpec, RBF
+    from runlmc_tpu.datasets import fx2007
+
+    xss, yss, test_xss, test_yss, _, _ = fx2007()
+    # Q=1 R=2 RBF (Alvarez & Lawrence 2010 config; reference
+    # standard_tester.alvarez_and_lawrence_gp)
+    spec = LMCKernelSpec.create(
+        D=len(xss), lmc_kernels=[RBF(name="rbf0")], lmc_ranks=[2]
+    )
+    return xss, yss, test_xss, test_yss, spec, [m or 234]
+
+
+def build_weather(m=None):
+    from runlmc_tpu import RBF, LMCKernelSpec, Scaled
+    from runlmc_tpu.datasets import weather
+
+    xss, yss, test_xss, test_yss, _ = weather()
+    # SLFM rank-2 + per-output scaled RBF (reference slfm_gp config)
+    spec = LMCKernelSpec.create(
+        D=len(xss),
+        slfm_kernels=[RBF(name="slfm0"), RBF(name="slfm1")],
+        indep_gp=[
+            Scaled(inner=RBF(name="rbf%d" % i)) for i in range(len(xss))
+        ],
+    )
+    return xss, yss, test_xss, test_yss, spec, [m or 500]
+
+
+def build_synth(m=None):
+    from runlmc_tpu import RBF, LMCKernelSpec
+    from runlmc_tpu.datasets import synth
+
+    xss, yss, test_xss, test_yss = synth()
+    spec = LMCKernelSpec.create(
+        D=len(xss),
+        slfm_kernels=[RBF(name="slfm0"), RBF(name="slfm1")],
+        indep_gp=[RBF(name="rbf%d" % i) for i in range(len(xss))],
+    )
+    mm = m or 25
+    return xss, yss, test_xss, test_yss, spec, [mm, mm]
+
+
+BUILDERS = {
+    "fx2007": build_fx2007,
+    "weather": build_weather,
+    "synth": build_synth,
+}
+
+
+def run_once(name, seed, m=None):
+    import jax
+
+    from runlmc_tpu import AdaDelta, InterpolatedLLGP
+    from runlmc_tpu.utils.evaluation import nlpd, smse
+
+    xss, yss, test_xss, test_yss, spec, mlist = BUILDERS[name](m)
+    t0 = time.time()
+    lmc = InterpolatedLLGP(
+        xss, yss, functional_kernel=spec, normalize=True, m=mlist,
+        seed=seed,
+    )
+    t_build = time.time() - t0
+    _log("model built in %.1fs (n=%d)" % (t_build, len(lmc.data.y)))
+
+    # Warm the jit caches outside the timed section (compilation is a
+    # one-off per shape; the reference's timed section has no analog of
+    # it). Restore RNG/params afterwards so the timed run is untouched.
+    t0 = time.time()
+    key_before = lmc._key
+    lmc.stochastic_grad()
+    lmc._key = key_before
+    _log("jit warmup %.1fs" % (time.time() - t0))
+
+    opt = AdaDelta(min_grad_ratio=0.2, max_it=100)
+    t0 = time.time()
+    info = lmc.optimize(optimizer=opt)
+    t_train = time.time() - t0
+    _log(
+        "train %.2fs (%d iterations, %.3fs/iter)"
+        % (t_train, info["n_iter"], t_train / info["n_iter"])
+    )
+
+    t0 = time.time()
+    pred_yss, pred_vss = lmc.predict(test_xss)
+    t_pred = time.time() - t0
+    s = smse(test_yss, pred_yss, yss)
+    nl = nlpd(test_yss, pred_yss, pred_vss)
+    _log("predict %.2fs smse %.4f nlpd %.4f" % (t_pred, s, nl))
+    return {
+        "train_s": t_train,
+        "pred_s": t_pred,
+        "build_s": t_build,
+        "iters": info["n_iter"],
+        "smse": s,
+        "nlpd": nl,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--benchmark", default="fx2007", choices=BUILDERS)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--m", type=int, default=None)
+    args = ap.parse_args()
+
+    results = [
+        run_once(args.benchmark, seed=1234 + i, m=args.m)
+        for i in range(args.runs)
+    ]
+    train = np.array([r["train_s"] for r in results])
+    baseline = BASELINES[args.benchmark]
+    out = {
+        "metric": "%s_train_s" % args.benchmark,
+        "value": round(float(train.mean()), 3),
+        "unit": "s",
+        # speedup factor over the reference CPU baseline (>1 = faster)
+        "vs_baseline": round(baseline / float(train.mean()), 3),
+        "baseline_s": baseline,
+        "train_se": round(float(train.std() / np.sqrt(len(train))), 3),
+        "pred_s": round(float(np.mean([r["pred_s"] for r in results])), 3),
+        "smse": round(float(np.mean([r["smse"] for r in results])), 4),
+        "nlpd": round(float(np.mean([r["nlpd"] for r in results])), 4),
+        "iters": float(np.mean([r["iters"] for r in results])),
+        "runs": args.runs,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
