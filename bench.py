@@ -130,10 +130,16 @@ def run_once(name, seed, m=None):
 
     t0 = time.time()
     pred_yss, pred_vss = lmc.predict(test_xss)
+    t_pred_first = time.time() - t0
+    t0 = time.time()
+    pred_yss, pred_vss = lmc.predict(test_xss)
     t_pred = time.time() - t0
     s = smse(test_yss, pred_yss, yss)
     nl = nlpd(test_yss, pred_yss, pred_vss)
-    _log("predict %.2fs smse %.4f nlpd %.4f" % (t_pred, s, nl))
+    _log(
+        "predict %.2fs (first %.2fs incl compile) smse %.4f nlpd %.4f"
+        % (t_pred, t_pred_first, s, nl)
+    )
     return {
         "train_s": t_train,
         "pred_s": t_pred,

@@ -74,21 +74,31 @@ def choose_rep(spec: LMCKernelSpec, active_dim) -> str:
     return "bt"
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class GridData:
-    """Host-built, parameter-independent grid artifacts for one group."""
+    """Parameter-independent grid artifacts for one group.
 
-    plan: GridPlan
-    axes: list  # per-dim numpy grid axes
-    dists: np.ndarray  # (m,) flattened BTTB first-row distances
-    interp: Interp  # W for the training inputs, (n, D*m)
+    A pytree: pass it through jit boundaries as an ARGUMENT, never
+    capture it in a closure — large closure-captured arrays become HLO
+    constants, which the TPU compiler handles pathologically slowly
+    (hundreds of seconds at fx2007 scale; measured in round 1).
+    ``plan`` is static metadata and participates in the jit cache key.
+    """
+
+    plan: GridPlan = flax.struct.field(pytree_node=False)
+    dists: Any = None  # (m,) flattened BTTB first-row distances
+    interp: Interp = None  # W for the training inputs, (n, D*m)
 
 
-def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None):
+def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
+               rep=None):
     """Build grids/distances/interpolants per active-dim group (parity:
     InterpolatedLLGP._generate_grids, interpolated_llgp.py:415-443).
 
     ``Xs``: list of per-output (n_i, P) design matrices.
+    Returns ``(grid_data, axes)``: a list of :class:`GridData` pytrees
+    and the per-group list of per-dim numpy grid axes (host-side, used
+    to interpolate test inputs at prediction time).
     """
 
     def _sub(v, active_dim):
@@ -101,6 +111,7 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None):
         return v[list(active_dim)]
 
     out = []
+    all_axes = []
     for active_dim, kidxs in spec.active_dims.items():
         Xs_active = [np.asarray(X)[:, list(active_dim)] for X in Xs]
         axes = autogrid(
@@ -114,11 +125,14 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None):
         plan = GridPlan(
             active_dim=tuple(active_dim),
             kidxs=tuple(kidxs),
-            rep=choose_rep(spec, active_dim),
+            rep=rep or choose_rep(spec, active_dim),
             sizes=sizes,
         )
-        out.append(GridData(plan=plan, axes=axes, dists=dists, interp=interp))
-    return out
+        out.append(
+            GridData(plan=plan, dists=jnp.asarray(dists), interp=interp)
+        )
+        all_axes.append(axes)
+    return out, all_axes
 
 
 # --------------------------------------------------------------------------
@@ -289,9 +303,7 @@ def build_kski(spec: LMCKernelSpec, raw_params, grid_data, lens) -> KSKI:
     (runs under jit; rebuilt each optimization step — parity with
     parameters_changed -> gen_grid_kernel, interpolated_llgp.py:192-200)."""
     groups = tuple(
-        build_group_state(
-            spec, raw_params, gd.plan, jnp.asarray(gd.dists), gd.interp
-        )
+        build_group_state(spec, raw_params, gd.plan, gd.dists, gd.interp)
         for gd in grid_data
     )
     noise = spec.noise(raw_params)

@@ -98,9 +98,21 @@ class InterpolatedLLGP(MultiGP):
 
         self.data = lk.flatten_data(self.Xs, self.Ys)
         self.y = jnp.asarray(self.data.y, dtype=self.dtype)
-        self.grid_data = make_grids(self.spec, self.Xs, lo, hi, m)
+        self.X = jnp.asarray(self.data.X, dtype=self.dtype)
+        self.oidx = jnp.asarray(self.data.output_idx)
+        grid_data, self.grid_axes = make_grids(self.spec, self.Xs, lo, hi, m)
+        self.grid_data = tuple(
+            gd.replace(
+                dists=jnp.asarray(gd.dists, dtype=self.dtype),
+                interp=gd.interp.replace(
+                    weights=jnp.asarray(
+                        gd.interp.weights, dtype=self.dtype
+                    )
+                ),
+            )
+            for gd in grid_data
+        )
         for gd in self.grid_data:
-            gd.dists = np.asarray(gd.dists, dtype=self.dtype)
             _LOG.info(
                 "InterpolatedLLGP %s generated grid (n=%d, m=%d) for "
                 "active dims %s",
@@ -157,21 +169,25 @@ class InterpolatedLLGP(MultiGP):
     # ----------------------------------------------------------------- jit
 
     def _build_jit(self):
+        """Construct the jitted compute functions.
+
+        CRITICAL TPU note: all data-sized arrays (grid data, y, X,
+        output indices) are passed as ARGUMENTS, never closures — large
+        closure-captured arrays become HLO constants and send compile
+        times from seconds to minutes (measured: 0.6s vs 200s for the
+        interpolation scatter at fx2007 scale).
+        """
         spec = self.spec
-        grid_data = self.grid_data
         lens = self.data.lens
-        y = self.y
-        n = y.shape[0]
+        n = int(self.y.shape[0])
         tol = self.tolerance
         method = self.solver
         n_probes = self.n_probes
         unravel = self._unravel
         prior_specs = tuple(self._prior_specs)
-        X = jnp.asarray(self.data.X, dtype=self.dtype)
-        oidx = jnp.asarray(self.data.output_idx)
 
         @jax.jit
-        def grad_fn(x_flat, key):
+        def grad_fn(x_flat, key, grid_data, y):
             params = unravel(x_flat)
             probes = lk.rademacher_probes(key, n_probes, n, y.dtype)
 
@@ -191,23 +207,25 @@ class InterpolatedLLGP(MultiGP):
             return gflat, aux
 
         @jax.jit
-        def alpha_fn(params):
+        def alpha_fn(params, grid_data, y):
             K = build_kski(spec, params, grid_data, lens)
             res = self._solver_fn()(K.matvec, y[None], tol=tol, maxiter=n)
             return res.x[0], res.iterations[0], res.error[0]
 
         @jax.jit
-        def grid_alpha_fn(params, alpha):
+        def grid_alpha_fn(params, alpha, grid_data):
             K = build_kski(spec, params, grid_data, lens)
             return tuple(
                 g.grid_matvec(g.interp.rmatvec(alpha)) for g in K.groups
             )
 
+        dtype = self.dtype
+
         @jax.jit
         def native_variance_fn(params):
             k0 = jnp.stack(
                 [
-                    spec.eval_kernel(params, q, jnp.zeros((), y.dtype))
+                    spec.eval_kernel(params, q, jnp.zeros((), dtype))
                     for q in range(spec.Q)
                 ]
             )
@@ -222,11 +240,44 @@ class InterpolatedLLGP(MultiGP):
             return coregs @ k0 + spec.noise(params)
 
         @jax.jit
-        def exact_chol_fn(params):
+        def exact_chol_fn(params, X, oidx):
             return lk.exact_chol(spec, params, X, oidx)
 
+        solver_fn = self._solver_fn()
+
         @jax.jit
-        def exact_value_and_grad_fn(x_flat):
+        def predict_otf_fn(params, Xt, ot, test_interps, grid_data, X,
+                           oidx, y):
+            """Fused on-the-fly prediction: one batched solve covers
+            alpha (K^-1 y) and every test column; mean, native and
+            explained variance all in one program."""
+            K = build_kski(spec, params, grid_data, lens)
+            K_test_X = lk.cross_kernel(spec, params, Xt, ot, X, oidx)
+            rhs = jnp.concatenate([y[None], K_test_X], axis=0)
+            res = solver_fn(K.matvec, rhs, tol=tol, maxiter=n)
+            alpha, sols = res.x[0], res.x[1:]
+            mean = 0.0
+            for g, ti in zip(K.groups, test_interps):
+                mean = mean + ti.matvec(
+                    g.grid_matvec(g.interp.rmatvec(alpha))
+                )
+            native = native_variance_fn(params)[ot]
+            explained = jnp.sum(K_test_X * sols, axis=1)
+            var = jnp.maximum(native - explained, 0.0)
+            return mean, var, res.error[0]
+
+        @jax.jit
+        def predict_mean_fn(params, alpha, test_interps, grid_data):
+            K = build_kski(spec, params, grid_data, lens)
+            mean = 0.0
+            for g, ti in zip(K.groups, test_interps):
+                mean = mean + ti.matvec(
+                    g.grid_matvec(g.interp.rmatvec(alpha))
+                )
+            return mean
+
+        @jax.jit
+        def exact_value_and_grad_fn(x_flat, X, oidx, y):
             params = unravel(x_flat)
 
             def objective(p):
@@ -245,6 +296,8 @@ class InterpolatedLLGP(MultiGP):
         self._jit_native_variance = native_variance_fn
         self._jit_exact_chol = exact_chol_fn
         self._jit_exact_value_and_grad = exact_value_and_grad_fn
+        self._jit_predict_otf = predict_otf_fn
+        self._jit_predict_mean = predict_mean_fn
 
     # ---------------------------------------------------------- priors API
 
@@ -284,7 +337,10 @@ class InterpolatedLLGP(MultiGP):
 
         def fprime(x_flat):
             g, aux = self._jit_grad(
-                jnp.asarray(x_flat, dtype=self.dtype), self._next_key()
+                jnp.asarray(x_flat, dtype=self.dtype),
+                self._next_key(),
+                self.grid_data,
+                self.y,
             )
             if self.metrics is not None:
                 self._record_metrics(x_flat, g, aux)
@@ -307,7 +363,8 @@ class InterpolatedLLGP(MultiGP):
         self.metrics.solv_error.append(float(aux.solve_error))
         approx_norm = float(np.linalg.norm(np.asarray(g), EVAL_NORM))
         val, exact_g = self._jit_exact_value_and_grad(
-            jnp.asarray(x_flat, dtype=self.dtype)
+            jnp.asarray(x_flat, dtype=self.dtype),
+            self.X, self.oidx, self.y,
         )
         exact_norm = float(np.linalg.norm(np.asarray(exact_g), EVAL_NORM))
         diff = float(
@@ -321,7 +378,7 @@ class InterpolatedLLGP(MultiGP):
 
     def _alpha(self):
         if "alpha" not in self._cache:
-            alpha, iters, err = self._jit_alpha(self.params)
+            alpha, iters, err = self._jit_alpha(self.params, self.grid_data, self.y)
             if float(err) > self.tolerance:
                 _LOG.critical(
                     "solve (n = %d) did not converge: reconstruction "
@@ -334,19 +391,14 @@ class InterpolatedLLGP(MultiGP):
 
     def _chol(self):
         if "chol" not in self._cache:
-            self._cache["chol"] = self._jit_exact_chol(self.params)
+            self._cache["chol"] = self._jit_exact_chol(self.params, self.X, self.oidx)
         return self._cache["chol"]
 
     def K(self):
         """Dense exact kernel (quadratic; reporting/debug only — parity:
         interpolated_llgp.py:252-260)."""
         return np.asarray(
-            lk.exact_dense_K(
-                self.spec,
-                self.params,
-                jnp.asarray(self.data.X, dtype=self.dtype),
-                jnp.asarray(self.data.output_idx),
-            )
+            lk.exact_dense_K(self.spec, self.params, self.X, self.oidx)
         )
 
     def log_det_K(self):
@@ -375,7 +427,8 @@ class InterpolatedLLGP(MultiGP):
         """Fully-exact MLL value and flat gradient (dense autodiff path —
         the oracle the reference calls ExactLMCLikelihood)."""
         val, g = self._jit_exact_value_and_grad(
-            jnp.asarray(self.param_array, dtype=self.dtype)
+            jnp.asarray(self.param_array, dtype=self.dtype),
+            self.X, self.oidx, self.y,
         )
         return -float(val), -np.asarray(g)
 
@@ -385,6 +438,8 @@ class InterpolatedLLGP(MultiGP):
         g, _ = self._jit_grad(
             jnp.asarray(self.param_array, dtype=self.dtype),
             self._next_key(),
+            self.grid_data,
+            self.y,
         )
         return np.asarray(g)
 
@@ -397,29 +452,45 @@ class InterpolatedLLGP(MultiGP):
             "exact": self._var_predict_exact,
         }
 
+    def _test_interps(self, Xs):
+        return tuple(
+            multi_interpolant(
+                [np.asarray(X)[:, list(gd.plan.active_dim)] for X in Xs],
+                axes,
+            ).replace_weights_dtype(self.dtype)
+            for gd, axes in zip(self.grid_data, self.grid_axes)
+        )
+
     def _raw_predict(self, Xs):
         lens = [len(X) for X in Xs]
-        total = int(sum(lens))
-        alpha = self._alpha()
-        grid_alphas = self._jit_grid_alpha(self.params, alpha)
+        test_interps = self._test_interps(Xs)
 
-        mean = np.zeros(total)
-        prediction_W = {}
-        for gd, galpha in zip(self.grid_data, grid_alphas):
-            dims = list(gd.plan.active_dim)
-            Xs_active = [np.asarray(X)[:, dims] for X in Xs]
-            W = multi_interpolant(Xs_active, gd.axes)
-            prediction_W[gd.plan.active_dim] = W
-            mean += np.asarray(W.matvec(galpha))
-
-        native = np.asarray(self._jit_native_variance(self.params))
-        native = np.repeat(native, lens)
-
-        explained = self._prediction_methods()[self.prediction](
-            prediction_W, Xs
-        )
-        var = native - np.asarray(explained)
-        var[var < 0] = 0
+        if self.prediction == "on-the-fly":
+            Xt, ot = self._test_flat(Xs)
+            mean, var, err = self._jit_predict_otf(
+                self.params, Xt, ot, test_interps, self.grid_data,
+                self.X, self.oidx, self.y,
+            )
+            if float(err) > self.tolerance:
+                _LOG.warning(
+                    "prediction alpha solve residual %e above tolerance",
+                    float(err),
+                )
+            mean, var = np.asarray(mean), np.asarray(var)
+        else:
+            alpha = self._alpha()
+            mean = np.asarray(
+                self._jit_predict_mean(
+                    self.params, alpha, test_interps, self.grid_data
+                )
+            )
+            native = np.asarray(self._jit_native_variance(self.params))
+            native = np.repeat(native, lens)
+            explained = self._prediction_methods()[self.prediction](
+                test_interps, Xs
+            )
+            var = native - np.asarray(explained)
+            var[var < 0] = 0
 
         ends = np.cumsum(lens)[:-1]
         return np.split(mean, ends), np.split(var, ends)
@@ -434,12 +505,7 @@ class InterpolatedLLGP(MultiGP):
     def _cross_kernel(self, Xs):
         Xt, ot = self._test_flat(Xs)
         return lk.cross_kernel(
-            self.spec,
-            self.params,
-            Xt,
-            ot,
-            jnp.asarray(self.data.X, dtype=self.dtype),
-            jnp.asarray(self.data.output_idx),
+            self.spec, self.params, Xt, ot, self.X, self.oidx
         )
 
     def _var_predict_exact(self, _, Xs):
@@ -450,10 +516,12 @@ class InterpolatedLLGP(MultiGP):
         sol = jax.scipy.linalg.cho_solve((L, True), K_test_X.T)
         return np.asarray(jnp.sum(K_test_X * sol.T, axis=1))
 
-    def _var_predict_on_the_fly(self, _, Xs):
+    def _var_predict_on_the_fly(self, test_interps, Xs):
         """Batched solves against every test column at once (parity:
         interpolated_llgp.py:390-397, which pools one scipy solve per
-        test point)."""
+        test point). Normally short-circuited by the fused
+        ``_jit_predict_otf`` program; kept as the standalone
+        explained-variance API."""
         K_test_X = self._cross_kernel(Xs)
         if K_test_X.shape[0] == 0:
             return np.zeros(0)
@@ -493,8 +561,7 @@ class InterpolatedLLGP(MultiGP):
             self._cache["nu"] = np.asarray(jnp.diagonal(back))
         return self._cache["nu"]
 
-    def _var_predict_precompute(self, prediction_W, _):
+    def _var_predict_precompute(self, test_interps, _):
         nu = self._precomputed_nu()
-        assert len(prediction_W) == 1
-        W = next(iter(prediction_W.values()))
-        return np.asarray(W.matvec(jnp.asarray(nu)))
+        assert len(test_interps) == 1
+        return np.asarray(test_interps[0].matvec(jnp.asarray(nu)))

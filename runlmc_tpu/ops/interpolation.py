@@ -206,6 +206,9 @@ class Interp(LinearOperator):
     def T(self):
         return _InterpT(interp=self)
 
+    def replace_weights_dtype(self, dtype):
+        return self.replace(weights=jnp.asarray(self.weights, dtype=dtype))
+
     def as_dense(self):
         n, m = self.shape
         out = np.zeros((n, m))

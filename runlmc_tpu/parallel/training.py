@@ -30,9 +30,7 @@ def adadelta_init(x_flat):
 
 def make_train_step(
     spec,
-    grid_data,
     lens,
-    y,
     params_template,
     tol=1e-4,
     method="minres",
@@ -43,17 +41,20 @@ def make_train_step(
     momentum=0.5,
     offset=1e-4,
 ):
-    """Build ``train_step(x_flat, opt_state, probes) -> (x_flat',
-    opt_state', aux)`` where ``probes`` is an (n_probes, n) array whose
-    leading axis may be sharded over a mesh ('probe' axis). ``aux``
-    carries the inf-norm gradient for the host-side stopping rule.
+    """Build ``train_step(x_flat, opt_state, probes, grid_data, y) ->
+    (x_flat', opt_state', aux)`` where ``probes`` is an (n_probes, n)
+    array whose leading axis may be sharded over a mesh ('probe' axis),
+    and ``grid_data``/``y`` are the (pytree) grid artifacts and stacked
+    observations — passed as arguments, not closures, to keep them out
+    of the compiled program's constant pool (see
+    InterpolatedLLGP._build_jit). ``aux`` carries the inf-norm gradient
+    for the host-side stopping rule.
 
     Also returns ``(x0_flat, opt_state0, unravel)``.
     """
     x0, unravel = ravel_pytree(params_template)
-    y = jnp.asarray(y)
 
-    def objective(p, probes):
+    def objective(p, probes, grid_data, y):
         s, aux = lk.stochastic_mll_surrogate(
             spec, p, grid_data, lens, y, probes, tol=tol, method=method
         )
@@ -61,11 +62,11 @@ def make_train_step(
             s = s + lk.log_prior_term(prior_specs, p)
         return -s, aux
 
-    def train_step(x_flat, opt_state: AdaDeltaState, probes):
+    def train_step(x_flat, opt_state: AdaDeltaState, probes, grid_data, y):
         step1 = momentum * opt_state.step
         x1 = x_flat - step1
         (_, aux), g = jax.value_and_grad(
-            lambda p: objective(p, probes), has_aux=True
+            lambda p: objective(p, probes, grid_data, y), has_aux=True
         )(unravel(x1))
         gflat, _ = ravel_pytree(g)
         gms = decay * opt_state.gms + (1.0 - decay) * gflat**2

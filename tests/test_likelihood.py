@@ -22,7 +22,8 @@ def _setup(rng, D=2, n_per=25, m=32, ranks=(1,), kerns=None, P=1):
     Xs = [np.sort(rng.uniform(0, 1, (n_per, P)), axis=0) for _ in range(D)]
     Ys = [rng.standard_normal(n_per) for _ in range(D)]
     params = jax.tree.map(jnp.asarray, spec.init_raw_params(seed=3))
-    grids = make_grids(spec, Xs, m=[m] * P)
+    grids, _ = make_grids(spec, Xs, m=[m] * P)
+    grids = tuple(grids)
     data = lk.flatten_data(Xs, Ys)
     return spec, params, Xs, Ys, grids, data
 
