@@ -59,7 +59,9 @@ def run_config(D, R, Q, n, seed=0):
     out["chol"] = time.time() - t0
 
     for rep in ["sum", "bt", "slfm"]:
-        grids, _ = make_grids(spec, Xs, m=[n_per], rep=rep)
+        # force fft mode: this benchmark compares the Fourier-space
+        # representation contraction paths specifically
+        grids, _ = make_grids(spec, Xs, m=[n_per], rep=rep, mode="fft")
         grids = tuple(grids)
 
         @jax.jit

@@ -37,6 +37,13 @@ from typing import Any, Optional, Tuple
 import flax.struct
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+# TPU einsum/matmul on f32 inputs defaults to bfloat16 multiplication;
+# the resulting ~1e-2 relative matvec error destroys Krylov convergence
+# (measured: MINRES stalls at ||r|| ~ 1e-2 ||b||). Every contraction on
+# the solve path must run at full f32.
+_HI = lax.Precision.HIGHEST
 
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
 from runlmc_tpu.ops import bttb as bttb_ops
@@ -50,15 +57,29 @@ from runlmc_tpu.utils.np_utils import cartesian_product
 # --------------------------------------------------------------------------
 
 
+# Above this many grid points per group (D * m), the dense (Dm, Dm)
+# materialization stops paying off against the FFT path.
+DENSE_MAX_GRID = 8192
+
+
 @dataclasses.dataclass(frozen=True)
 class GridPlan:
     """Static per-active-dim-group plan: which kernels, which
-    representation, grid sizes. Hashable — safe as a jit static arg."""
+    representation, grid sizes. Hashable — safe as a jit static arg.
+
+    ``mode``: 'fft' runs matvecs in Fourier space (O(m log m), f32 on
+    TPU — XLA TPU has no f64 FFT); 'dense' materializes the (Dm, Dm)
+    grid kernel once per parameter update and runs matvecs on the MXU —
+    at benchmark grid sizes this is both faster per matvec and the only
+    float64-capable path on TPU, which Krylov convergence on
+    ill-conditioned (small-noise) systems requires.
+    """
 
     active_dim: Tuple[int, ...]
     kidxs: Tuple[int, ...]
     rep: str
     sizes: Tuple[int, ...]
+    mode: str = "fft"
 
 
 def choose_rep(spec: LMCKernelSpec, active_dim) -> str:
@@ -88,18 +109,22 @@ class GridData:
     plan: GridPlan = flax.struct.field(pytree_node=False)
     dists: Any = None  # (m,) flattened BTTB first-row distances
     interp: Interp = None  # W for the training inputs, (n, D*m)
+    idx_map: Any = None  # (m, m) int32 BTTB index map ('dense' mode)
 
 
 def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
-               rep=None):
+               rep=None, mode="auto"):
     """Build grids/distances/interpolants per active-dim group (parity:
     InterpolatedLLGP._generate_grids, interpolated_llgp.py:415-443).
 
     ``Xs``: list of per-output (n_i, P) design matrices.
+    ``mode``: 'fft' | 'dense' | 'auto' (dense when D*m <= DENSE_MAX_GRID).
     Returns ``(grid_data, axes)``: a list of :class:`GridData` pytrees
     and the per-group list of per-dim numpy grid axes (host-side, used
     to interpolate test inputs at prediction time).
     """
+    if mode not in ("auto", "fft", "dense"):
+        raise ValueError("unknown grid mode %r" % (mode,))
 
     def _sub(v, active_dim):
         if v is None:
@@ -122,14 +147,29 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
         dists = np.linalg.norm(grid - grid[0], axis=-1)
         sizes = tuple(len(a) for a in axes)
         interp = multi_interpolant(Xs_active, axes)
+        m_tot = int(np.prod(sizes))
+        group_mode = mode
+        if mode == "auto":
+            group_mode = (
+                "dense" if spec.D * m_tot <= DENSE_MAX_GRID else "fft"
+            )
         plan = GridPlan(
             active_dim=tuple(active_dim),
             kidxs=tuple(kidxs),
             rep=rep or choose_rep(spec, active_dim),
             sizes=sizes,
+            mode=group_mode,
+        )
+        idx_map = (
+            jnp.asarray(bttb_ops.bttb_index_map(sizes))
+            if group_mode == "dense"
+            else None
         )
         out.append(
-            GridData(plan=plan, dists=jnp.asarray(dists), interp=interp)
+            GridData(
+                plan=plan, dists=jnp.asarray(dists), interp=interp,
+                idx_map=idx_map,
+            )
         )
         all_axes.append(axes)
     return out, all_axes
@@ -146,8 +186,11 @@ class GroupState:
 
     sizes: Tuple[int, ...] = flax.struct.field(pytree_node=False)
     rep: str = flax.struct.field(pytree_node=False)
+    mode: str = flax.struct.field(pytree_node=False, default="fft")
     interp: Interp = None
     grid_tops: Any = None  # (Qg, m) kernels on grid (kept for prediction)
+    # 'dense' mode: the materialized grid kernel
+    KUU_dense: Optional[Any] = None  # (D*m, D*m)
     # 'sum'
     B: Optional[Any] = None  # (Qg, D, D)
     That: Optional[Any] = None  # (Qg, F) complex
@@ -168,6 +211,10 @@ class GroupState:
 
     def grid_matvec(self, u):
         """K_UU u for this group: u (..., D*m) -> (..., D*m)."""
+        if self.mode == "dense":
+            return jnp.einsum(
+                "ij,...j->...i", self.KUU_dense, u, precision=_HI
+            )
         sizes = self.sizes
         m = int(np.prod(sizes))
         d = self.D
@@ -180,13 +227,19 @@ class GroupState:
         vf = vhat.reshape(batch + (d, F))
 
         if self.rep == "sum":
-            g = jnp.einsum("qde,qf,...ef->...df", self.B, self.That, vf)
+            g = jnp.einsum(
+                "qde,qf,...ef->...df", self.B, self.That, vf,
+                precision=_HI,
+            )
         elif self.rep == "bt":
-            g = jnp.einsum("def,...ef->...df", self.BThat, vf)
+            g = jnp.einsum("def,...ef->...df", self.BThat, vf,
+                           precision=_HI)
         elif self.rep == "slfm":
-            proj = jnp.einsum("dr,...df->...rf", self.A, vf)
+            proj = jnp.einsum("dr,...df->...rf", self.A, vf,
+                              precision=_HI)
             proj = proj * self.That_rep
-            g = jnp.einsum("dr,...rf->...df", self.A, proj)
+            g = jnp.einsum("dr,...rf->...df", self.A, proj,
+                           precision=_HI)
             g = g + self.diag_That * vf
         else:  # pragma: no cover
             raise AssertionError(self.rep)
@@ -202,24 +255,40 @@ class GroupState:
 
 
 def build_group_state(
-    spec: LMCKernelSpec, raw_params, plan: GridPlan, dists, interp: Interp
+    spec: LMCKernelSpec, raw_params, plan: GridPlan, dists, interp: Interp,
+    idx_map=None,
 ) -> GroupState:
-    """Evaluate kernels on the grid and assemble the Fourier-space
-    contraction state for one group (parameter-dependent; runs under jit
-    once per optimization step)."""
+    """Evaluate kernels on the grid and assemble the contraction state
+    for one group (parameter-dependent; runs under jit once per
+    optimization step). 'fft' mode precomputes the Fourier symbol;
+    'dense' mode materializes K_UU = sum_q B_q (x) T_q as one (Dm, Dm)
+    matrix via the BTTB index-map gather — MXU matvecs, f64-capable."""
     kidxs = plan.kidxs
     sizes = plan.sizes
     tops = spec.eval_kernels_stacked(raw_params, dists, kidxs)  # (Qg, m)
+
+    if plan.mode == "dense":
+        T = tops[:, idx_map]  # (Qg, m, m) dense BTTB blocks
+        B = spec.coreg_mats(raw_params, kidxs)  # (Qg, D, D)
+        KUU = jnp.einsum("qde,qij->diej", B, T, precision=_HI)
+        dm = B.shape[1] * T.shape[1]
+        return GroupState(
+            sizes=sizes, rep=plan.rep, mode="dense", interp=interp,
+            grid_tops=tops, KUU_dense=KUU.reshape(dm, dm),
+        )
+
     that = bttb_ops.bttb_fft(tops, sizes).reshape(len(kidxs), -1)  # (Qg, F)
 
     kwargs = dict(
-        sizes=sizes, rep=plan.rep, interp=interp, grid_tops=tops
+        sizes=sizes, rep=plan.rep, mode="fft", interp=interp,
+        grid_tops=tops,
     )
     if plan.rep == "sum":
         kwargs["B"] = spec.coreg_mats(raw_params, kidxs)
     elif plan.rep == "bt":
         B = spec.coreg_mats(raw_params, kidxs)
-        kwargs["BThat"] = jnp.einsum("qde,qf->def", B, that)
+        kwargs["BThat"] = jnp.einsum("qde,qf->def", B, that,
+                                     precision=_HI)
     elif plan.rep == "slfm":
         non_indep = spec.non_indep_idxs(kidxs)
         pos_of = {q: i for i, q in enumerate(kidxs)}
@@ -238,7 +307,8 @@ def build_group_state(
         )  # (Qg, D)
         kwargs["A"] = A_star
         kwargs["That_rep"] = That_rep
-        kwargs["diag_That"] = jnp.einsum("qd,qf->df", kappa, that)
+        kwargs["diag_That"] = jnp.einsum("qd,qf->df", kappa, that,
+                                         precision=_HI)
     else:  # pragma: no cover
         raise AssertionError(plan.rep)
     kwargs["That"] = that
@@ -277,7 +347,7 @@ class KSKI(LinearOperator):
             n = self.noise_n.shape[0]
             # crude SKI bound (parity in spirit with ski.py:22-23)
             gb = 0.0
-            if g.rep == "sum":
+            if g.rep == "sum" and g.mode == "fft":
                 for q in range(g.grid_tops.shape[0]):
                     gb += float(
                         jnp.abs(g.B[q]).sum()
@@ -303,7 +373,9 @@ def build_kski(spec: LMCKernelSpec, raw_params, grid_data, lens) -> KSKI:
     (runs under jit; rebuilt each optimization step — parity with
     parameters_changed -> gen_grid_kernel, interpolated_llgp.py:192-200)."""
     groups = tuple(
-        build_group_state(spec, raw_params, gd.plan, gd.dists, gd.interp)
+        build_group_state(
+            spec, raw_params, gd.plan, gd.dists, gd.interp, gd.idx_map
+        )
         for gd in grid_data
     )
     noise = spec.noise(raw_params)

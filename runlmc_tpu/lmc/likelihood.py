@@ -174,9 +174,12 @@ def stochastic_mll_surrogate(
     K = build_kski(spec, raw_params, grid_data, lens)
     operands = jnp.concatenate([alpha[None], probes], axis=0)
     applied = K.matvec(operands)
-    quad_term = 0.5 * alpha @ applied[0]
+    hi = jax.lax.Precision.HIGHEST  # TPU dots default to bf16 multiplies
+    quad_term = 0.5 * jnp.einsum("n,n->", alpha, applied[0], precision=hi)
     n_probes = probes.shape[0]
-    trace_term = jnp.einsum("in,in->", zs, applied[1:]) / n_probes
+    trace_term = (
+        jnp.einsum("in,in->", zs, applied[1:], precision=hi) / n_probes
+    )
     surrogate = quad_term - 0.5 * trace_term
 
     aux = StochasticAux(

@@ -24,6 +24,7 @@ from jax.flatten_util import ravel_pytree
 from runlmc_tpu.lmc import likelihood as lk
 from runlmc_tpu.lmc.grid import build_kski, make_grids
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
+from runlmc_tpu.lmc.woodbury import build_woodbury
 from runlmc_tpu.metrics import Metrics
 from runlmc_tpu.models.multigp import MultiGP
 from runlmc_tpu.models.optimization import EVAL_NORM, AdaDelta
@@ -46,6 +47,11 @@ class InterpolatedLLGP(MultiGP):
     :param trace_iterations: Hutchinson probes per gradient (default 15)
     :param tolerance: Krylov solve tolerance (default 1e-4)
     :param solver: 'minres' (reference default) or 'cg'
+    :param grid_mode: 'auto' | 'fft' | 'dense' — how grid-kernel matvecs
+        run. 'dense' materializes K_UU per group once per parameter
+        update and uses MXU matmuls (f64-capable on TPU, where XLA has
+        no f64 FFT); 'auto' picks 'dense' for grids up to
+        DENSE_MAX_GRID points
     :param metrics: record per-step diagnostics incl. exact-gradient
         comparison (slow; parity interpolated_llgp.py:228-244)
     :param seed: seed for parameter init and probe RNG
@@ -71,6 +77,7 @@ class InterpolatedLLGP(MultiGP):
         functional_kernel=None,
         seed=0,
         dtype=None,
+        grid_mode="auto",
         max_procs=None,  # accepted for API compatibility; parallelism
         # is the device mesh, not processes
     ):
@@ -100,7 +107,9 @@ class InterpolatedLLGP(MultiGP):
         self.y = jnp.asarray(self.data.y, dtype=self.dtype)
         self.X = jnp.asarray(self.data.X, dtype=self.dtype)
         self.oidx = jnp.asarray(self.data.output_idx)
-        grid_data, self.grid_axes = make_grids(self.spec, self.Xs, lo, hi, m)
+        grid_data, self.grid_axes = make_grids(
+            self.spec, self.Xs, lo, hi, m, mode=grid_mode
+        )
         self.grid_data = tuple(
             gd.replace(
                 dists=jnp.asarray(gd.dists, dtype=self.dtype),
@@ -213,6 +222,10 @@ class InterpolatedLLGP(MultiGP):
             return res.x[0], res.iterations[0], res.error[0]
 
         @jax.jit
+        def kski_fn(params, grid_data):
+            return build_kski(spec, params, grid_data, lens)
+
+        @jax.jit
         def grid_alpha_fn(params, alpha, grid_data):
             K = build_kski(spec, params, grid_data, lens)
             return tuple(
@@ -292,6 +305,7 @@ class InterpolatedLLGP(MultiGP):
 
         self._jit_grad = grad_fn
         self._jit_alpha = alpha_fn
+        self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
         self._jit_native_variance = native_variance_fn
         self._jit_exact_chol = exact_chol_fn
@@ -376,16 +390,33 @@ class InterpolatedLLGP(MultiGP):
 
     # ----------------------------------------------------------- reporting
 
+    @property
+    def _all_dense(self):
+        return all(gd.plan.mode == "dense" for gd in self.grid_data)
+
+    def _woodbury(self):
+        """Direct Woodbury factorization of K_SKI (dense grid mode);
+        cached per parameter setting."""
+        if "woodbury" not in self._cache:
+            K = self._jit_kski(self.params, self.grid_data)
+            self._cache["woodbury"] = build_woodbury(K.groups, K.noise_n)
+        return self._cache["woodbury"]
+
     def _alpha(self):
         if "alpha" not in self._cache:
-            alpha, iters, err = self._jit_alpha(self.params, self.grid_data, self.y)
-            if float(err) > self.tolerance:
-                _LOG.critical(
-                    "solve (n = %d) did not converge: reconstruction "
-                    "error %e",
-                    self.y.shape[0],
-                    float(err),
+            if self._all_dense:
+                alpha = self._woodbury().solve(self.y)
+            else:
+                alpha, iters, err = self._jit_alpha(
+                    self.params, self.grid_data, self.y
                 )
+                if float(err) > self.tolerance:
+                    _LOG.critical(
+                        "solve (n = %d) did not converge: reconstruction "
+                        "error %e",
+                        self.y.shape[0],
+                        float(err),
+                    )
             self._cache["alpha"] = alpha
         return self._cache["alpha"]
 
@@ -415,6 +446,22 @@ class InterpolatedLLGP(MultiGP):
     def normal_quadratic(self):
         """y^T K_SKI^-1 y (parity: interpolated_llgp.py:278-285)."""
         return float(self.y @ self._alpha())
+
+    def ski_log_det(self):
+        """EXACT log det of the SKI covariance via the matrix
+        determinant lemma on the Woodbury factorization, O(n k^2)
+        (dense grid mode only). The reference has no fast-logdet path
+        (its roadmap lists Lanczos logdet, reference README.md:86); it
+        reports the O(n^3) dense-kernel logdet instead."""
+        return self._woodbury().logdet
+
+    def ski_log_likelihood(self):
+        """Marginal log-likelihood of the SKI model itself:
+        -1/2 (ski_log_det + y^T K_SKI^-1 y + n log 2 pi). Fully
+        matrix-free-exact and cheap at any n (dense grid mode)."""
+        nll = self.ski_log_det() + self.normal_quadratic()
+        nll += len(self.data.y) * np.log(2 * np.pi)
+        return -0.5 * nll
 
     def log_likelihood(self):
         """-1/2 (log det K + y^T K^-1 y + n log 2pi): exact logdet +
@@ -464,6 +511,37 @@ class InterpolatedLLGP(MultiGP):
     def _raw_predict(self, Xs):
         lens = [len(X) for X in Xs]
         test_interps = self._test_interps(Xs)
+
+        if self._all_dense and self.prediction != "exact":
+            # Direct path: Woodbury-factored K_SKI — closed-form solves
+            # for alpha and every test column, no Krylov iteration.
+            wb = self._woodbury()
+            alpha = self._alpha()
+            mean = np.asarray(
+                self._jit_predict_mean(
+                    self.params, alpha, test_interps, self.grid_data
+                )
+            )
+            native = np.asarray(self._jit_native_variance(self.params))
+            native = np.repeat(native, lens)
+            if self.prediction == "on-the-fly":
+                K_test_X = self._cross_kernel(Xs)
+                if K_test_X.shape[0]:
+                    E = wb.solve(K_test_X)
+                    explained = np.asarray(
+                        jnp.sum(K_test_X * E, axis=1)
+                    )
+                else:
+                    explained = np.zeros(0)
+            else:  # 'precompute'
+                nu = self._precomputed_nu()
+                assert len(test_interps) == 1
+                explained = np.asarray(
+                    test_interps[0].matvec(jnp.asarray(nu))
+                )
+            var = np.maximum(native - explained, 0.0)
+            ends = np.cumsum(lens)[:-1]
+            return np.split(mean, ends), np.split(var, ends)
 
         if self.prediction == "on-the-fly":
             Xt, ot = self._test_flat(Xs)
@@ -545,19 +623,21 @@ class InterpolatedLLGP(MultiGP):
                     "kernels"
                 )
             gd = self.grid_data[0]
-            K = build_kski(
-                self.spec, self.params, self.grid_data, self.data.lens
-            )
+            K = self._jit_kski(self.params, self.grid_data)
             g = K.groups[0]
             dm = gd.interp.ncols
             eye = jnp.eye(dm, dtype=self.dtype)
             KUU = g.grid_matvec(eye)  # dense (Dm, Dm), symmetric
             rhs = g.interp.matvec(KUU)  # rows: K_XU columns, (Dm, n)
-            res = self._solver_fn()(
-                K.matvec, rhs, tol=self.tolerance,
-                maxiter=self.y.shape[0],
-            )
-            back = g.grid_matvec(g.interp.rmatvec(res.x))  # (Dm, Dm)
+            if self._all_dense:
+                sols = self._woodbury().solve(rhs)
+            else:
+                res = self._solver_fn()(
+                    K.matvec, rhs, tol=self.tolerance,
+                    maxiter=self.y.shape[0],
+                )
+                sols = res.x
+            back = g.grid_matvec(g.interp.rmatvec(sols))  # (Dm, Dm)
             self._cache["nu"] = np.asarray(jnp.diagonal(back))
         return self._cache["nu"]
 

@@ -149,6 +149,29 @@ def bttb_dense(top, sizes):
     return bttb_matvec_from_top(top, eye, sizes).T
 
 
+def bttb_index_map(sizes):
+    """(m, m) int32 map from (i, j) to the flattened first-row index of a
+    symmetric BTTB matrix: entry (i, j) of the dense matrix equals
+    ``top[idx_map[i, j]]`` where the flat offset is
+    sum_d |i_d - j_d| * stride_d.
+
+    Host-side, parameter-independent; precompute once per grid. Enables
+    the 'dense' grid mode: materialize the (Dm, Dm) grid kernel by a
+    gather and run matvecs on the MXU instead of via FFT — the fast AND
+    float64-capable path on TPU (XLA TPU has no f64 FFT, but f64 matmul
+    is supported), used whenever the grid is small enough.
+    """
+    sizes = tuple(int(s) for s in sizes)
+    m = int(np.prod(sizes))
+    idx = np.zeros((m, m), dtype=np.int64)
+    stride = m
+    for n in sizes:
+        stride //= n
+        c = (np.arange(m) // stride) % n  # this dim's coordinate
+        idx += np.abs(c[:, None] - c[None, :]) * stride
+    return idx.astype(np.int32)
+
+
 def toeplitz_eig_upper_bound(top):
     """Gershgorin upper eigenvalue bound for a symmetric Toeplitz matrix:
     max_i row_i(|T|) computed in O(n) with prefix sums (behavior parity:

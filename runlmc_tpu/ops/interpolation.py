@@ -18,6 +18,7 @@ import logging
 from typing import Any, Tuple
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -187,7 +188,12 @@ class Interp(LinearOperator):
     def matvec(self, v):
         """W v: (..., ncols) -> (..., n) — gather + weighted sum."""
         gathered = jnp.take(v, self.indices, axis=-1)  # (..., n, taps)
-        return jnp.einsum("...nt,nt->...n", gathered, self.weights)
+        # full-f32 contraction: TPU einsum defaults to bf16 multiplies,
+        # which put a ~1e-2 noise floor on the whole Krylov solve
+        return jnp.einsum(
+            "...nt,nt->...n", gathered, self.weights,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def rmatvec(self, x):
         """W^T x: (..., n) -> (..., ncols) — batched scatter-add.

@@ -33,6 +33,7 @@ Correspondence (reference file -> class here):
 from typing import Any, Callable, Tuple
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,7 +101,10 @@ class Dense(LinearOperator):
         return self.a.shape
 
     def matvec(self, v):
-        return jnp.einsum("ij,...j->...i", self.a, v)
+        # f32 multiplies (TPU einsum defaults to bf16): this operator is
+        # the dense oracle in tests and a Krylov operand in its own right
+        return jnp.einsum("ij,...j->...i", self.a, v,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def as_dense(self):
         return self.a

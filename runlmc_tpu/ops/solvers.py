@@ -278,7 +278,7 @@ def batched_minres(
     tol: float = 1e-4,
     maxiter: Optional[int] = None,
     cycle: int = 100,
-    stall_ratio: float = 0.5,
+    stall_ratio: float = 0.99,
 ) -> SolveResult:
     """Solve A x = b for symmetric A, batched over the leading axis of
     ``b`` (B, n); ``matvec`` maps (B, n) -> (B, n). ``tol`` is an
@@ -296,7 +296,7 @@ def batched_cg(
     maxiter: Optional[int] = None,
     precond: Optional[Callable] = None,
     cycle: int = 100,
-    stall_ratio: float = 0.5,
+    stall_ratio: float = 0.99,
 ) -> SolveResult:
     """Conjugate gradients for SPD A, batched; optional SPD
     preconditioner (the reference exposes a never-used
