@@ -81,7 +81,11 @@ def build_weather(m=None):
         D=len(xss),
         slfm_kernels=[RBF(name="slfm0"), RBF(name="slfm1")],
         indep_gp=[
-            Scaled(inner=RBF(name="rbf%d" % i)) for i in range(len(xss))
+            # trainable_scale=False: the reference's Scaled never links
+            # its scale Param into the optimized tree (scaled.py:21) —
+            # scale stays frozen at 1.0 there
+            Scaled(inner=RBF(name="rbf%d" % i), trainable_scale=False)
+            for i in range(len(xss))
         ],
     )
     # optimizer opts: reference weather.py:24 passes only verbosity ->

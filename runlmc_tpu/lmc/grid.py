@@ -47,7 +47,12 @@ _HI = lax.Precision.HIGHEST
 
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
 from runlmc_tpu.ops import bttb as bttb_ops
-from runlmc_tpu.ops.interpolation import Interp, autogrid, multi_interpolant
+from runlmc_tpu.ops.interpolation import (
+    Interp,
+    autogrid,
+    interp_output_blocks,
+    multi_interpolant,
+)
 from runlmc_tpu.ops.operators import LinearOperator
 from runlmc_tpu.utils.np_utils import cartesian_product
 
@@ -110,6 +115,7 @@ class GridData:
     dists: Any = None  # (m,) flattened BTTB first-row distances
     interp: Interp = None  # W for the training inputs, (n, D*m)
     idx_map: Any = None  # (m, m) int32 BTTB index map ('dense' mode)
+    W_blocks: Any = None  # per-output dense (n_d, m) blocks ('dense')
 
 
 def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
@@ -160,15 +166,18 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
             sizes=sizes,
             mode=group_mode,
         )
-        idx_map = (
-            jnp.asarray(bttb_ops.bttb_index_map(sizes))
-            if group_mode == "dense"
-            else None
-        )
+        idx_map = None
+        W_blocks = None
+        if group_mode == "dense":
+            idx_map = jnp.asarray(bttb_ops.bttb_index_map(sizes))
+            W_blocks = tuple(
+                jnp.asarray(b)
+                for b in interp_output_blocks(Xs_active, axes)
+            )
         out.append(
             GridData(
                 plan=plan, dists=jnp.asarray(dists), interp=interp,
-                idx_map=idx_map,
+                idx_map=idx_map, W_blocks=W_blocks,
             )
         )
         all_axes.append(axes)
@@ -188,6 +197,7 @@ class GroupState:
     rep: str = flax.struct.field(pytree_node=False)
     mode: str = flax.struct.field(pytree_node=False, default="fft")
     interp: Interp = None
+    W_blocks: Any = None  # per-output dense (n_d, m) interp blocks
     grid_tops: Any = None  # (Qg, m) kernels on grid (kept for prediction)
     # 'dense' mode: the materialized grid kernel
     KUU_dense: Optional[Any] = None  # (D*m, D*m)
@@ -250,13 +260,62 @@ class GroupState:
 
     def matvec(self, x):
         """Full SKI term W K_UU W^T x: (..., n) -> (..., n)."""
+        if self.W_blocks is not None:
+            return self._matvec_blocks(x)
         u = self.interp.rmatvec(x)
         return self.interp.matvec(self.grid_matvec(u))
+
+    def _matvec_blocks(self, x):
+        """All-matmul SKI matvec via per-output dense interp blocks:
+        W^T and W become MXU matmuls instead of gather/scatter (the
+        scatter-add dominates the f64 Krylov loop otherwise)."""
+        splits = np.cumsum([b.shape[0] for b in self.W_blocks])[:-1]
+        xs = jnp.split(x, splits, axis=-1)
+        u = jnp.concatenate(
+            [
+                jnp.einsum("nm,...n->...m", b, xd, precision=_HI)
+                for b, xd in zip(self.W_blocks, xs)
+            ],
+            axis=-1,
+        )  # (..., D*m) in output-major layout, matching interp columns
+        g = self.grid_matvec(u)
+        m = self.W_blocks[0].shape[1]
+        outs = [
+            jnp.einsum(
+                "nm,...m->...n",
+                b,
+                g[..., d * m : (d + 1) * m],
+                precision=_HI,
+            )
+            for d, b in enumerate(self.W_blocks)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+
+def to_inner_f32(grid_data):
+    """Cast a grid-data tuple to a float32 FFT-mode variant: the inner
+    operator for mixed-precision refinement solves (cheap f32 FFT
+    Krylov cycles inside an f64 outer loop — see ops/solvers.py)."""
+    out = []
+    for gd in grid_data:
+        plan32 = dataclasses.replace(gd.plan, mode="fft")
+        out.append(
+            gd.replace(
+                plan=plan32,
+                dists=gd.dists.astype(jnp.float32),
+                interp=gd.interp.replace(
+                    weights=gd.interp.weights.astype(jnp.float32)
+                ),
+                idx_map=None,
+                W_blocks=None,
+            )
+        )
+    return tuple(out)
 
 
 def build_group_state(
     spec: LMCKernelSpec, raw_params, plan: GridPlan, dists, interp: Interp,
-    idx_map=None,
+    idx_map=None, w_blocks=None,
 ) -> GroupState:
     """Evaluate kernels on the grid and assemble the contraction state
     for one group (parameter-dependent; runs under jit once per
@@ -274,7 +333,8 @@ def build_group_state(
         dm = B.shape[1] * T.shape[1]
         return GroupState(
             sizes=sizes, rep=plan.rep, mode="dense", interp=interp,
-            grid_tops=tops, KUU_dense=KUU.reshape(dm, dm),
+            W_blocks=w_blocks, grid_tops=tops,
+            KUU_dense=KUU.reshape(dm, dm),
         )
 
     that = bttb_ops.bttb_fft(tops, sizes).reshape(len(kidxs), -1)  # (Qg, F)
@@ -374,7 +434,8 @@ def build_kski(spec: LMCKernelSpec, raw_params, grid_data, lens) -> KSKI:
     parameters_changed -> gen_grid_kernel, interpolated_llgp.py:192-200)."""
     groups = tuple(
         build_group_state(
-            spec, raw_params, gd.plan, gd.dists, gd.interp, gd.idx_map
+            spec, raw_params, gd.plan, gd.dists, gd.interp, gd.idx_map,
+            gd.W_blocks,
         )
         for gd in grid_data
     )

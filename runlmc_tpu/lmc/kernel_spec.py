@@ -183,22 +183,29 @@ class LMCKernelSpec:
 
     # -------------------------------------------------- jit-side evaluation
 
+    def _dtype(self, raw_params):
+        """Computation dtype, inherited from the parameter leaves (so an
+        f32-cast parameter pytree yields a pure-f32 operator even under
+        jax x64 — required by the mixed-precision inner solve path)."""
+        return jnp.asarray(raw_params["noise"]).dtype
+
     def coreg_vec(self, raw_params, q):
         """A_q as an (r_q, D) array (fixed zeros for indep kernels)."""
         if self.kinds[q] == "indep":
-            return jnp.zeros((1, self.D))
+            return jnp.zeros((1, self.D), dtype=self._dtype(raw_params))
         return jnp.asarray(raw_params["coreg_vecs"]["q%d" % q])
 
     def coreg_diag(self, raw_params, q):
         """kappa_q as a (D,) array (constrained; fixed for slfm/indep)."""
         kind = self.kinds[q]
+        dtype = self._dtype(raw_params)
         if kind == "lmc":
             return POSITIVE.forward(raw_params["coreg_diags"]["q%d" % q])
         if kind == "slfm":
-            return jnp.zeros(self.D)
+            return jnp.zeros(self.D, dtype=dtype)
         basis = np.zeros(self.D)
         basis[self.indep_idx[self._indep_pos(q)]] = 1.0
-        return jnp.asarray(basis)
+        return jnp.asarray(basis, dtype=dtype)
 
     def _indep_pos(self, q):
         return [i for i, k in enumerate(self.kinds) if k == "indep"].index(q)

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from runlmc_tpu.lmc.grid import build_kski
+from runlmc_tpu.lmc.grid import build_kski, to_inner_f32
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
 from runlmc_tpu.ops.solvers import batched_cg, batched_minres
 
@@ -165,7 +165,24 @@ def stochastic_mll_surrogate(
     K_ng = build_kski(spec, solve_params, grid_data, lens)
     rhs = jnp.concatenate([y[None], probes], axis=0)
     solver = batched_minres if method == "minres" else batched_cg
-    res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter)
+
+    # Mixed-precision refinement on f64 dense-mode systems: inner f32
+    # FFT Krylov cycles (fast) + f64 dense true-residual outer loop
+    # (accurate) — see ops/solvers.py.
+    solver_kwargs = {}
+    if y.dtype == jnp.float64 and all(
+        gd.plan.mode == "dense" for gd in grid_data
+    ):
+        params32 = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
+        )
+        K32 = build_kski(spec, params32, to_inner_f32(grid_data), lens)
+        solver_kwargs = dict(
+            inner_matvec=K32.matvec, inner_dtype=jnp.float32
+        )
+
+    res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter,
+                 **solver_kwargs)
     sols = jax.lax.stop_gradient(res.x)
     alpha = sols[0]
     zs = sols[1:]

@@ -118,6 +118,14 @@ class InterpolatedLLGP(MultiGP):
                         gd.interp.weights, dtype=self.dtype
                     )
                 ),
+                W_blocks=(
+                    None
+                    if gd.W_blocks is None
+                    else tuple(
+                        jnp.asarray(b, dtype=self.dtype)
+                        for b in gd.W_blocks
+                    )
+                ),
             )
             for gd in grid_data
         )

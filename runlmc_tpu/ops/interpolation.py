@@ -144,6 +144,28 @@ def multi_interpolant(Xs, grid_axes):
     )
 
 
+def interp_output_blocks(Xs, grid_axes):
+    """Per-output DENSE interpolation blocks: list of (n_i, m) float
+    arrays W_i such that the full block-diagonal W is
+    diag(W_1, ..., W_D).
+
+    Materializing the blocks turns W/W^T applications into per-output
+    MXU matmuls (total cost B * n * m MACs, memory n * m floats) —
+    measured ~100x faster per Krylov iteration on TPU than the
+    gather/scatter path, whose (n * taps)-element scatter-add dominates
+    the f64 solve loop. Host-side, parameter-independent.
+    """
+    m = int(np.prod([len(g) for g in grid_axes]))
+    blocks = []
+    for X in Xs:
+        idx, w = interp_nd(grid_axes, X)
+        dense = np.zeros((len(idx), m))
+        rows = np.repeat(np.arange(len(idx)), idx.shape[1])
+        np.add.at(dense, (rows, idx.ravel()), w.ravel())
+        blocks.append(dense)
+    return blocks
+
+
 def autogrid(Xs, lo=None, hi=None, m=None):
     """Default interpolation grid: per-dim linspace over the data range,
     padded by two cells on each side (``m += 4``), with default m = mean

@@ -207,7 +207,17 @@ def _cg_cycle(matvec, b, tol, max_inner, M=None):
 # --------------------------------------------------------------------------
 
 
-def _refined_solve(cycle_fn, matvec, b, tol, maxiter, cycle, stall_ratio):
+def _refined_solve(cycle_fn, matvec, b, tol, maxiter, cycle, stall_ratio,
+                   inner_matvec=None, inner_dtype=None):
+    """Outer refinement loop. With ``inner_matvec``/``inner_dtype`` set,
+    runs MIXED-PRECISION iterative refinement: inner Krylov cycles use
+    the (cheap, low-precision) inner operator on the downcast residual,
+    while the outer loop recomputes the TRUE residual r = b - A x with
+    the full-precision ``matvec`` and accumulates x in b.dtype. Each
+    cycle contracts the residual by roughly the inner solve's relative
+    accuracy, so a handful of f32 cycles reach f64-level residuals at
+    f32 speed — the TPU-native answer to ill-conditioned GP systems
+    (f64 MXU matmuls cost ~3-60x f32, and XLA TPU has no f64 FFT)."""
     b = jnp.atleast_2d(b)
     B, n = b.shape
     if maxiter is None:
@@ -237,7 +247,23 @@ def _refined_solve(cycle_fn, matvec, b, tol, maxiter, cycle, stall_ratio):
         budget = maxiter - jnp.max(jnp.where(st.active, st.total, 0))
         max_inner = jnp.minimum(cycle, jnp.maximum(budget, 1))
         rhs = jnp.where(st.active[:, None], st.r, 0.0)
-        dx, iters = cycle_fn(matvec, rhs, tol, max_inner)
+        if inner_matvec is not None:
+            # scale the residual block to O(1) before downcasting so
+            # tiny late-refinement residuals survive the cast
+            scale = jnp.max(jnp.abs(rhs))
+            safe_scale = jnp.where(scale > 0, scale, 1.0)
+            rhs_lo = (rhs / safe_scale).astype(inner_dtype)
+            # stop inner rows near the inner dtype's floor
+            inner_tol = (
+                jnp.asarray(1e-7, dtype=inner_dtype)
+                * jnp.max(_norm(rhs_lo))
+            )
+            dx_lo, iters = cycle_fn(
+                inner_matvec, rhs_lo, inner_tol, max_inner
+            )
+            dx = dx_lo.astype(b.dtype) * safe_scale
+        else:
+            dx, iters = cycle_fn(matvec, rhs, tol, max_inner)
         x_new = st.x + dx
         r_new = b - matvec(x_new)
         rn_new = _norm(r_new)
@@ -279,13 +305,17 @@ def batched_minres(
     maxiter: Optional[int] = None,
     cycle: int = 100,
     stall_ratio: float = 0.99,
+    inner_matvec: Optional[Callable] = None,
+    inner_dtype=None,
 ) -> SolveResult:
     """Solve A x = b for symmetric A, batched over the leading axis of
     ``b`` (B, n); ``matvec`` maps (B, n) -> (B, n). ``tol`` is an
     absolute residual 2-norm (reference semantics,
-    runlmc/approx/iterative.py:36-42)."""
+    runlmc/approx/iterative.py:36-42). ``inner_matvec``/``inner_dtype``
+    enable mixed-precision refinement (see _refined_solve)."""
     return _refined_solve(
-        _minres_cycle, matvec, b, tol, maxiter, cycle, stall_ratio
+        _minres_cycle, matvec, b, tol, maxiter, cycle, stall_ratio,
+        inner_matvec=inner_matvec, inner_dtype=inner_dtype,
     )
 
 
@@ -297,6 +327,8 @@ def batched_cg(
     precond: Optional[Callable] = None,
     cycle: int = 100,
     stall_ratio: float = 0.99,
+    inner_matvec: Optional[Callable] = None,
+    inner_dtype=None,
 ) -> SolveResult:
     """Conjugate gradients for SPD A, batched; optional SPD
     preconditioner (the reference exposes a never-used
@@ -306,7 +338,8 @@ def batched_cg(
         return _cg_cycle(mv, rhs, tol_, max_inner, M=precond)
 
     return _refined_solve(
-        cycle_fn, matvec, b, tol, maxiter, cycle, stall_ratio
+        cycle_fn, matvec, b, tol, maxiter, cycle, stall_ratio,
+        inner_matvec=inner_matvec, inner_dtype=inner_dtype,
     )
 
 
