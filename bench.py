@@ -134,10 +134,14 @@ def run_once(name, seed, m=None):
 
     # Warm the jit caches outside the timed section (compilation is a
     # one-off per shape; the reference's timed section has no analog of
-    # it). Restore RNG/params afterwards so the timed run is untouched.
+    # it): run ONE real optimizer step (compiles the actual — possibly
+    # preconditioned — training program), then restore params/RNG so
+    # the timed run is untouched.
     t0 = time.time()
     key_before = lmc._key
-    lmc.stochastic_grad()
+    x_before = lmc.param_array.copy()
+    lmc.optimize(optimizer=AdaDelta(max_it=1))
+    lmc.param_array = x_before
     lmc._key = key_before
     _log("jit warmup %.1fs" % (time.time() - t0))
 

@@ -150,6 +150,7 @@ def stochastic_mll_surrogate(
     tol=1e-4,
     maxiter=None,
     method="minres",
+    precond=None,
 ):
     """Scalar whose autodiff gradient is the stochastic MLL gradient.
 
@@ -166,23 +167,35 @@ def stochastic_mll_surrogate(
     rhs = jnp.concatenate([y[None], probes], axis=0)
     solver = batched_minres if method == "minres" else batched_cg
 
-    # Mixed-precision refinement on f64 dense-mode systems: inner f32
-    # FFT Krylov cycles (fast) + f64 dense true-residual outer loop
-    # (accurate) — see ops/solvers.py.
-    solver_kwargs = {}
-    if y.dtype == jnp.float64 and all(
-        gd.plan.mode == "dense" for gd in grid_data
-    ):
-        params32 = jax.tree.map(
-            lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
+    if precond is not None:
+        # Preconditioned CG with a (possibly stale) Woodbury
+        # factorization of K: M^-1 K ~ I, so a handful of f64 dense
+        # matvec iterations solve exactly at any conditioning. The
+        # factor is refreshed outside the jit every few optimizer steps
+        # (host eigendecomposition, amortized).
+        res = batched_cg(
+            K_ng.matvec, rhs, tol=tol, maxiter=maxiter,
+            precond=precond.solve,
         )
-        K32 = build_kski(spec, params32, to_inner_f32(grid_data), lens)
-        solver_kwargs = dict(
-            inner_matvec=K32.matvec, inner_dtype=jnp.float32
-        )
-
-    res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter,
-                 **solver_kwargs)
+    else:
+        # Mixed-precision refinement on f64 dense-mode systems: inner
+        # f32 FFT Krylov cycles (fast) + f64 dense true-residual outer
+        # loop (accurate) — see ops/solvers.py.
+        solver_kwargs = {}
+        if y.dtype == jnp.float64 and all(
+            gd.plan.mode == "dense" for gd in grid_data
+        ):
+            params32 = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
+            )
+            K32 = build_kski(
+                spec, params32, to_inner_f32(grid_data), lens
+            )
+            solver_kwargs = dict(
+                inner_matvec=K32.matvec, inner_dtype=jnp.float32
+            )
+        res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter,
+                     **solver_kwargs)
     sols = jax.lax.stop_gradient(res.x)
     alpha = sols[0]
     zs = sols[1:]

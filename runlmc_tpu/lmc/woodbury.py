@@ -70,6 +70,10 @@ class WoodburyFactor(NamedTuple):
     noise_n: jax.Array  # (n,)
     C_inv: jax.Array  # (k, k) inverse of C = I + V^T D^-1 V
     logdet: float  # log det K (python float, host-computed)
+    # optional per-group per-output dense interp blocks: W/W^T become
+    # MXU matmuls instead of gather/scatter (the scatter dominates the
+    # per-application cost on TPU otherwise)
+    W_blocks: Tuple = ()
 
     @property
     def n(self):
@@ -79,13 +83,43 @@ class WoodburyFactor(NamedTuple):
     def k(self):
         return sum(f.shape[1] for f in self.Fs)
 
+    def _wt(self, g, x):
+        """W_g^T x: (..., n) -> (..., Dm_g)."""
+        if self.W_blocks and self.W_blocks[g] is not None:
+            blocks = self.W_blocks[g]
+            splits = np.cumsum([b.shape[0] for b in blocks])[:-1]
+            xs = jnp.split(x, splits, axis=-1)
+            return jnp.concatenate(
+                [
+                    jnp.einsum("nm,...n->...m", b, xd, precision=_HI)
+                    for b, xd in zip(blocks, xs)
+                ],
+                axis=-1,
+            )
+        return self.interps[g].rmatvec(x)
+
+    def _w(self, g, u):
+        """W_g u: (..., Dm_g) -> (..., n)."""
+        if self.W_blocks and self.W_blocks[g] is not None:
+            blocks = self.W_blocks[g]
+            m = blocks[0].shape[1]
+            outs = [
+                jnp.einsum(
+                    "nm,...m->...n", b, u[..., d * m : (d + 1) * m],
+                    precision=_HI,
+                )
+                for d, b in enumerate(blocks)
+            ]
+            return jnp.concatenate(outs, axis=-1)
+        return self.interps[g].matvec(u)
+
     def _vt(self, x):
-        """V^T x: (..., n) -> (..., k) via gather + small dense."""
+        """V^T x: (..., n) -> (..., k)."""
         parts = [
             jnp.einsum(
-                "mk,...m->...k", f, w.rmatvec(x), precision=_HI
+                "mk,...m->...k", f, self._wt(g, x), precision=_HI
             )
-            for w, f in zip(self.interps, self.Fs)
+            for g, f in enumerate(self.Fs)
         ]
         return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
@@ -93,11 +127,11 @@ class WoodburyFactor(NamedTuple):
         """V t: (..., k) -> (..., n)."""
         out = 0.0
         off = 0
-        for w, f in zip(self.interps, self.Fs):
+        for g, f in enumerate(self.Fs):
             kg = f.shape[1]
             tg = t[..., off : off + kg]
-            out = out + w.matvec(
-                jnp.einsum("mk,...k->...m", f, tg, precision=_HI)
+            out = out + self._w(
+                g, jnp.einsum("mk,...k->...m", f, tg, precision=_HI)
             )
             off += kg
         return out
@@ -114,13 +148,31 @@ class WoodburyFactor(NamedTuple):
         return self._v(self._vt(x)) + self.noise_n * x
 
 
-def grid_eig_factors(kuu_dense_list, rtol=1e-12):
+def grid_eig_factors(kuu_dense_list, rtol=1e-12, fixed_rank=False):
     """Host-side truncated eigendecompositions of the per-group dense
     grid kernels. Returns a list of (Dm_g, k_g) float64 arrays
-    U_g sqrt(lam_g) keeping eigenvalues > rtol * lam_max."""
+    U_g sqrt(lam_g) keeping eigenvalues > rtol * lam_max.
+
+    ``fixed_rank=True`` keeps all Dm_g columns (negative eigenvalues
+    clipped to zero) so the factor SHAPE is parameter-independent —
+    required when the factor feeds a jitted function across refreshes
+    (a rank change would trigger a full XLA recompile)."""
     factors = []
     for kuu in kuu_dense_list:
         kuu = np.asarray(kuu, dtype=np.float64)
+        if fixed_rank:
+            # jittered Cholesky: ~10x cheaper than eigh on the host and
+            # just as good a factor (M = W (K_UU + delta I) W^T + D
+            # differs from K by a negligible delta W W^T)
+            delta = max(np.trace(kuu) / len(kuu), 1e-300) * 1e-12
+            ident = np.eye(len(kuu))
+            while True:
+                try:
+                    factors.append(np.linalg.cholesky(kuu + delta * ident))
+                    break
+                except np.linalg.LinAlgError:
+                    delta *= 100.0
+            continue
         lam, u = np.linalg.eigh(kuu)
         cut = max(lam[-1], 0.0) * rtol
         keep = lam > cut
@@ -128,18 +180,24 @@ def grid_eig_factors(kuu_dense_list, rtol=1e-12):
     return factors
 
 
-def build_woodbury(groups, noise_n, rtol=1e-12) -> WoodburyFactor:
+def build_woodbury(
+    groups, noise_n, rtol=1e-12, fixed_rank=False
+) -> WoodburyFactor:
     """Factor the SKI covariance from dense-mode group states.
 
     ``groups``: GroupState tuple with ``KUU_dense`` set (grid.py).
     ``noise_n``: per-data-point noise (n,).
+    ``fixed_rank``: see :func:`grid_eig_factors` — use when the factor
+    is passed into a jitted training step.
     """
     for g in groups:
         if g.KUU_dense is None:
             raise ValueError(
                 "Woodbury factorization requires dense grid mode"
             )
-    factors = grid_eig_factors([g.KUU_dense for g in groups], rtol=rtol)
+    factors = grid_eig_factors(
+        [g.KUU_dense for g in groups], rtol=rtol, fixed_rank=fixed_rank
+    )
     dtype = noise_n.dtype
     Fs = tuple(jnp.asarray(f, dtype=dtype) for f in factors)
     interps = tuple(g.interp for g in groups)
@@ -184,4 +242,5 @@ def build_woodbury(groups, noise_n, rtol=1e-12) -> WoodburyFactor:
         noise_n=noise_n,
         C_inv=jnp.asarray(C_inv, dtype=dtype),
         logdet=logdet,
+        W_blocks=tuple(g.W_blocks for g in groups),
     )

@@ -102,6 +102,8 @@ class InterpolatedLLGP(MultiGP):
         self.n_probes = int(trace_iterations)
         self.tolerance = float(tolerance)
         self.solver = solver
+        self.precond_refresh = 10  # optimizer steps between Woodbury
+        # preconditioner refreshes (dense mode)
 
         self.data = lk.flatten_data(self.Xs, self.Ys)
         self.y = jnp.asarray(self.data.y, dtype=self.dtype)
@@ -203,15 +205,14 @@ class InterpolatedLLGP(MultiGP):
         unravel = self._unravel
         prior_specs = tuple(self._prior_specs)
 
-        @jax.jit
-        def grad_fn(x_flat, key, grid_data, y):
+        def _grad(x_flat, key, grid_data, y, precond):
             params = unravel(x_flat)
             probes = lk.rademacher_probes(key, n_probes, n, y.dtype)
 
             def objective(p):
                 s, aux = lk.stochastic_mll_surrogate(
                     spec, p, grid_data, lens, y, probes,
-                    tol=tol, method=method,
+                    tol=tol, method=method, precond=precond,
                 )
                 if prior_specs:
                     s = s + lk.log_prior_term(prior_specs, p)
@@ -222,6 +223,14 @@ class InterpolatedLLGP(MultiGP):
             )
             gflat, _ = ravel_pytree(g)
             return gflat, aux
+
+        @jax.jit
+        def grad_fn(x_flat, key, grid_data, y):
+            return _grad(x_flat, key, grid_data, y, None)
+
+        @jax.jit
+        def grad_pc_fn(x_flat, key, grid_data, y, precond):
+            return _grad(x_flat, key, grid_data, y, precond)
 
         @jax.jit
         def alpha_fn(params, grid_data, y):
@@ -312,6 +321,7 @@ class InterpolatedLLGP(MultiGP):
             return val, gflat
 
         self._jit_grad = grad_fn
+        self._jit_grad_pc = grad_pc_fn
         self._jit_alpha = alpha_fn
         self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
@@ -357,13 +367,44 @@ class InterpolatedLLGP(MultiGP):
         if self.metrics is not None:
             self.metrics = Metrics()
 
-        def fprime(x_flat):
-            g, aux = self._jit_grad(
-                jnp.asarray(x_flat, dtype=self.dtype),
-                self._next_key(),
-                self.grid_data,
-                self.y,
+        # Stale-Woodbury preconditioning (dense grid mode): factor K at
+        # the current params every `precond_refresh` steps on the host
+        # (eigh amortized across steps) and run each step's solves as a
+        # short preconditioned CG on the f64 dense operator. Replaces
+        # thousands of late-stage Krylov iterations with a handful.
+        use_pc = self._all_dense
+        pc_state = {"wb": None, "age": 0}
+
+        def _refresh_pc(x_flat):
+            params = self._unravel(jnp.asarray(x_flat, dtype=self.dtype))
+            K = self._jit_kski(params, self.grid_data)
+            # fixed_rank keeps the factor shapes parameter-independent
+            # so the jitted preconditioned step never retraces
+            pc_state["wb"] = build_woodbury(
+                K.groups, K.noise_n, fixed_rank=True
             )
+            pc_state["age"] = 0
+
+        def fprime(x_flat):
+            x = jnp.asarray(x_flat, dtype=self.dtype)
+            if use_pc:
+                if (
+                    pc_state["wb"] is None
+                    or pc_state["age"] >= self.precond_refresh
+                ):
+                    _refresh_pc(x_flat)
+                g, aux = self._jit_grad_pc(
+                    x, self._next_key(), self.grid_data, self.y,
+                    pc_state["wb"],
+                )
+                pc_state["age"] += 1
+                # stale factor losing bite -> refresh early next step
+                if float(aux.solve_iters) > 60:
+                    pc_state["age"] = self.precond_refresh
+            else:
+                g, aux = self._jit_grad(
+                    x, self._next_key(), self.grid_data, self.y
+                )
             if self.metrics is not None:
                 self._record_metrics(x_flat, g, aux)
             return np.asarray(g, dtype=float)
