@@ -180,6 +180,134 @@ def grid_eig_factors(kuu_dense_list, rtol=1e-12, fixed_rank=False):
     return factors
 
 
+def host_grid_kuu(spec, raw_params, dists_np, idx_map_np, kidxs):
+    """Build one group's dense grid kernel ON THE HOST in float64 from
+    the (tiny) raw parameters and precomputed distances/index map —
+    avoids pulling the (Dm, Dm) device array over the (slow) transport
+    when refreshing the training preconditioner."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        p64 = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64),
+            raw_params,
+        )
+        d = jnp.asarray(np.asarray(dists_np, dtype=np.float64))
+        tops = np.asarray(spec.eval_kernels_stacked(p64, d, kidxs))
+        B = np.asarray(spec.coreg_mats(p64, kidxs))
+    T = tops[:, idx_map_np]  # (Qg, m, m)
+    dm = B.shape[1] * T.shape[1]
+    kuu = np.einsum("qde,qij->diej", B, T, optimize=True)
+    return kuu.reshape(dm, dm)
+
+
+def chol_factor_jittered(kuu):
+    """Host Cholesky of K_UU + delta*I with escalating jitter; the
+    resulting factor F satisfies F F^T = K_UU up to a negligible
+    delta-perturbation — a preconditioner-grade (indeed near-exact)
+    factor at ~10x less host time than eigh."""
+    kuu = np.asarray(kuu, dtype=np.float64)
+    delta = max(np.trace(kuu) / len(kuu), 1e-300) * 1e-12
+    ident = np.eye(len(kuu))
+    while True:
+        try:
+            return np.linalg.cholesky(kuu + delta * ident)
+        except np.linalg.LinAlgError:
+            delta *= 100.0
+
+
+@jax.jit
+def newton_inv(C, X0):
+    """Invert SPD C on device by Newton-Schulz iteration
+    X <- X (2I - C X), warm-startable from a previous inverse. Falls
+    back to the conservative cold start X0c = I/||C||_inf when the
+    provided X0 is out of the convergence region. All work is k^3 MXU
+    matmuls — no host round-trip (XLA-TPU f64 factorizations and the
+    transport to the host are both orders of magnitude slower)."""
+    k = C.shape[0]
+    ident = jnp.eye(k, dtype=C.dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    def err_of(X):
+        R = ident - jnp.matmul(C, X, precision=hi)
+        return jnp.linalg.norm(R) / jnp.sqrt(k).astype(C.dtype), R
+
+    cold = ident / jnp.max(jnp.sum(jnp.abs(C), axis=1))
+    e_warm, _ = err_of(X0)
+    X_init = jnp.where(e_warm < 0.9, 1.0, 0.0) * X0 + jnp.where(
+        e_warm < 0.9, 0.0, 1.0
+    ) * cold
+
+    def cond(s):
+        X, e, i = s
+        return (e > 1e-13) & (i < 64)
+
+    def body(s):
+        X, _, i = s
+        e, R = err_of(X)
+        Xn = X + jnp.matmul(X, R, precision=hi)
+        en, _ = err_of(Xn)
+        better = en < e
+        return (
+            jnp.where(better, Xn, X),
+            jnp.where(better, en, jnp.asarray(0.0, C.dtype)),
+            i + 1,
+        )
+
+    e0, _ = err_of(X_init)
+    X, e, _ = jax.lax.while_loop(cond, body, (X_init, e0, 0))
+    return X
+
+
+def _c_blocks(interps, W_blocks, Fs, noise_n):
+    """Assemble C = I + F^T (W^T D^-1 W) F on device (blockwise for
+    multi-group models)."""
+    inv_d = 1.0 / noise_n
+    nblocks = len(Fs)
+    rows = []
+    for a in range(nblocks):
+        row = []
+        for b in range(nblocks):
+            if b < a:
+                row.append(None)
+                continue
+            M = interp_gram(interps[a], interps[b], inv_d)
+            row.append(
+                jnp.einsum(
+                    "mk,mp,pl->kl", Fs[a], M, Fs[b],
+                    precision=_HI,
+                )
+            )
+        rows.append(row)
+    for a in range(nblocks):
+        for b in range(a):
+            rows[a][b] = rows[b][a].T
+    C = jnp.block(rows) if nblocks > 1 else rows[0][0]
+    return C + jnp.eye(C.shape[0], dtype=noise_n.dtype)
+
+
+def build_precond(
+    interps, W_blocks, Fs_np, noise_n, prev_C_inv=None
+) -> WoodburyFactor:
+    """Assemble a training-solve preconditioner from host-computed
+    grid-kernel Cholesky factors: C built on device, inverted on device
+    by warm-started Newton-Schulz. Total per-refresh transport is just
+    the F factors (host -> device); nothing comes back."""
+    dtype = noise_n.dtype
+    Fs = tuple(jnp.asarray(f, dtype=dtype) for f in Fs_np)
+    C = _c_blocks(interps, W_blocks, Fs, noise_n)
+    if prev_C_inv is None or prev_C_inv.shape != C.shape:
+        prev_C_inv = jnp.eye(C.shape[0], dtype=dtype)
+    C_inv = newton_inv(C, prev_C_inv)
+    return WoodburyFactor(
+        interps=interps,
+        Fs=Fs,
+        noise_n=noise_n,
+        C_inv=C_inv,
+        logdet=float("nan"),  # preconditioner only — no determinant
+        W_blocks=W_blocks,
+    )
+
+
 def build_woodbury(
     groups, noise_n, rtol=1e-12, fixed_rank=False
 ) -> WoodburyFactor:
@@ -202,28 +330,8 @@ def build_woodbury(
     Fs = tuple(jnp.asarray(f, dtype=dtype) for f in factors)
     interps = tuple(g.interp for g in groups)
 
-    # C = I + F^T (W^T D^-1 W) F assembled blockwise on device.
-    inv_d = 1.0 / noise_n
-    nblocks = len(groups)
-    rows = []
-    for a in range(nblocks):
-        row = []
-        for b in range(nblocks):
-            if b < a:
-                row.append(None)  # fill from symmetry below
-                continue
-            M = interp_gram(interps[a], interps[b], inv_d)
-            row.append(
-                jnp.einsum(
-                    "mk,mp,pl->kl", Fs[a], M, Fs[b], precision=_HI
-                )
-            )
-        rows.append(row)
-    for a in range(nblocks):
-        for b in range(a):
-            rows[a][b] = rows[b][a].T
-    C = jnp.block(rows) if nblocks > 1 else rows[0][0]
-    C = C + jnp.eye(C.shape[0], dtype=dtype)
+    w_blocks = tuple(g.W_blocks for g in groups)
+    C = _c_blocks(interps, w_blocks, Fs, noise_n)
 
     # Cholesky + inverse on host (f64 LAPACK; XLA-TPU f64
     # factorizations are orders of magnitude slower).
@@ -242,5 +350,5 @@ def build_woodbury(
         noise_n=noise_n,
         C_inv=jnp.asarray(C_inv, dtype=dtype),
         logdet=logdet,
-        W_blocks=tuple(g.W_blocks for g in groups),
+        W_blocks=w_blocks,
     )

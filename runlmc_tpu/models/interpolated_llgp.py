@@ -24,7 +24,12 @@ from jax.flatten_util import ravel_pytree
 from runlmc_tpu.lmc import likelihood as lk
 from runlmc_tpu.lmc.grid import build_kski, make_grids
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
-from runlmc_tpu.lmc.woodbury import build_woodbury
+from runlmc_tpu.lmc.woodbury import (
+    build_precond,
+    build_woodbury,
+    chol_factor_jittered,
+    host_grid_kuu,
+)
 from runlmc_tpu.metrics import Metrics
 from runlmc_tpu.models.multigp import MultiGP
 from runlmc_tpu.models.optimization import EVAL_NORM, AdaDelta
@@ -112,6 +117,12 @@ class InterpolatedLLGP(MultiGP):
         grid_data, self.grid_axes = make_grids(
             self.spec, self.Xs, lo, hi, m, mode=grid_mode
         )
+        # host copies for preconditioner refreshes (no device pulls)
+        self._host_grids = [
+            (np.asarray(gd.dists), np.asarray(gd.idx_map)
+             if gd.idx_map is not None else None)
+            for gd in grid_data
+        ]
         self.grid_data = tuple(
             gd.replace(
                 dists=jnp.asarray(gd.dists, dtype=self.dtype),
@@ -376,12 +387,38 @@ class InterpolatedLLGP(MultiGP):
         pc_state = {"wb": None, "age": 0}
 
         def _refresh_pc(x_flat):
+            # Cheap refresh: K_UU built + Cholesky-factored on the HOST
+            # from the (tiny) raw parameters; C inverted ON DEVICE by
+            # Newton-Schulz warm-started from the previous inverse.
+            # Only the F factors cross the transport. Fixed shapes
+            # everywhere -> the jitted step never retraces.
             params = self._unravel(jnp.asarray(x_flat, dtype=self.dtype))
-            K = self._jit_kski(params, self.grid_data)
-            # fixed_rank keeps the factor shapes parameter-independent
-            # so the jitted preconditioned step never retraces
-            pc_state["wb"] = build_woodbury(
-                K.groups, K.noise_n, fixed_rank=True
+            params_np = jax.tree.map(np.asarray, params)
+            Fs = []
+            for gd, (dists_np, idx_np) in zip(
+                self.grid_data, self._host_grids
+            ):
+                kuu = host_grid_kuu(
+                    self.spec, params_np, dists_np, idx_np,
+                    gd.plan.kidxs,
+                )
+                Fs.append(chol_factor_jittered(kuu))
+            noise = self.spec.noise(params)
+            noise_n = jnp.repeat(
+                noise,
+                jnp.asarray(np.asarray(self.data.lens)),
+                total_repeat_length=int(sum(self.data.lens)),
+            )
+            prev = (
+                pc_state["wb"].C_inv if pc_state["wb"] is not None
+                else None
+            )
+            pc_state["wb"] = build_precond(
+                tuple(gd.interp for gd in self.grid_data),
+                tuple(gd.W_blocks for gd in self.grid_data),
+                Fs,
+                noise_n,
+                prev_C_inv=prev,
             )
             pc_state["age"] = 0
 
