@@ -368,11 +368,16 @@ class InterpolatedLLGP(MultiGP):
 
     # ------------------------------------------------------------ training
 
-    def optimize(self, optimizer=None, **kwargs):
+    def optimize(self, optimizer=None, state=None, **kwargs):
         """Run AdaDelta (default, reference-parity stopping rule) on the
         stochastic MLL gradient. Extra kwargs construct the default
         optimizer. KeyboardInterrupt cleanly stops with current params
-        (parity: multigp.py:194-197)."""
+        (parity: multigp.py:194-197).
+
+        ``state``: optional optimizer state (from a previous ``info``
+        dict's ``'state'`` or a checkpoint's ``opt_state``) to resume
+        an interrupted run; the returned info dict always carries the
+        final resumable ``'state'``."""
         if optimizer is None:
             optimizer = AdaDelta(**kwargs)
         if self.metrics is not None:
@@ -448,7 +453,7 @@ class InterpolatedLLGP(MultiGP):
 
         x0 = self.param_array
         try:
-            x_opt, info = optimizer.minimize(x0, fprime)
+            x_opt, info = optimizer.minimize(x0, fprime, state=state)
         except KeyboardInterrupt:
             print(
                 "{}: KeyboardInterrupt caught, terminating "

@@ -106,6 +106,30 @@ class MultiGP:
     def optimize(self, **kwargs):
         raise NotImplementedError
 
+    # ---------------------------------------------------------- checkpoint
+
+    def save(self, path, opt_state=None, extra=None):
+        """Write a single-file ``.npz`` checkpoint (parameters, RNG key,
+        normalizer stats, optional optimizer state / extras). See
+        :mod:`runlmc_tpu.utils.checkpoint`."""
+        from runlmc_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self, opt_state=opt_state, extra=extra)
+
+    def restore(self, path):
+        """Restore parameters / RNG key / normalizer stats from a
+        checkpoint written by :meth:`save`; returns the loaded dict
+        (including ``opt_state`` when present, to pass to
+        ``optimize(state=...)``)."""
+        from runlmc_tpu.utils.checkpoint import (
+            load_checkpoint,
+            restore_model,
+        )
+
+        ckpt = load_checkpoint(path)
+        restore_model(self, ckpt)
+        return ckpt
+
     # ------------------------------------------------------------- predict
 
     def _predict(self, Xs, normalize):

@@ -48,20 +48,33 @@ class AdaDelta:
         self.permitted_drops = permitted_drops
         self.callback = callback
 
-    def minimize(self, x0, fprime):
+    def minimize(self, x0, fprime, state=None):
         """Minimize an objective given only its gradient ``fprime(x)``.
 
         Returns (x_opt, info dict with n_iter / final grad norm /
-        grad-norm history).
+        grad-norm history / resumable ``state``).
+
+        ``state``: optional dict from a previous run's
+        ``info['state']`` (or a loaded checkpoint's ``opt_state``) —
+        resumes the running moments and the stopping rule exactly where
+        the interrupted run left off. ``x0`` should then be the
+        checkpointed parameter vector.
         """
         x = np.array(x0, dtype=float, copy=True)
-        gms = np.zeros_like(x)  # running mean of squared gradients
-        sms = np.zeros_like(x)  # running mean of squared steps
-        step = np.zeros_like(x)
-
-        rolling_max = 0.0
-        drops = self.permitted_drops
-        n_iter = 0
+        if state is not None:
+            gms = np.array(state["gms"], dtype=float, copy=True)
+            sms = np.array(state["sms"], dtype=float, copy=True)
+            step = np.array(state["step"], dtype=float, copy=True)
+            rolling_max = float(state["rolling_max"])
+            drops = int(state["drops"])
+            n_iter = int(state["n_iter"])
+        else:
+            gms = np.zeros_like(x)  # running mean of squared gradients
+            sms = np.zeros_like(x)  # running mean of squared steps
+            step = np.zeros_like(x)
+            rolling_max = 0.0
+            drops = self.permitted_drops
+            n_iter = 0
         grad_norms = []
 
         if self.verbosity:
@@ -118,4 +131,12 @@ class AdaDelta:
             "n_iter": n_iter,
             "grad_norm": grad_norm,
             "grad_norms": grad_norms,
+            "state": {
+                "gms": gms,
+                "sms": sms,
+                "step": step,
+                "rolling_max": rolling_max,
+                "drops": drops,
+                "n_iter": n_iter,
+            },
         }
