@@ -166,17 +166,18 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
             sizes=sizes,
             mode=group_mode,
         )
+        # Everything here stays HOST numpy: eager device puts/pulls at
+        # construction time cost seconds each over remote-TPU transports
+        # (measured 22s/transfer on axon); the model moves these to
+        # device exactly once, in one batch.
         idx_map = None
         W_blocks = None
         if group_mode == "dense":
-            idx_map = jnp.asarray(bttb_ops.bttb_index_map(sizes))
-            W_blocks = tuple(
-                jnp.asarray(b)
-                for b in interp_output_blocks(Xs_active, axes)
-            )
+            idx_map = bttb_ops.bttb_index_map(sizes)
+            W_blocks = tuple(interp_output_blocks(Xs_active, axes))
         out.append(
             GridData(
-                plan=plan, dists=jnp.asarray(dists), interp=interp,
+                plan=plan, dists=dists, interp=interp,
                 idx_map=idx_map, W_blocks=W_blocks,
             )
         )

@@ -131,6 +131,11 @@ class InterpolatedLLGP(MultiGP):
                         gd.interp.weights, dtype=self.dtype
                     )
                 ),
+                idx_map=(
+                    None
+                    if gd.idx_map is None
+                    else jnp.asarray(gd.idx_map)
+                ),
                 W_blocks=(
                     None
                     if gd.W_blocks is None
