@@ -248,6 +248,61 @@ class InterpolatedLLGP(MultiGP):
         def grad_pc_fn(x_flat, key, grid_data, y, precond):
             return _grad(x_flat, key, grid_data, y, precond)
 
+        chunk_len = self.precond_refresh
+
+        def _chunk(x0, gms0, sms0, stp0, key, start, hp, grid_data, y,
+                   precond):
+            """`chunk_len` full AdaDelta iterations fused into one XLA
+            program (lax.scan): the gradient, the climin-style update
+            rule and the per-step grad norms all stay on device; only
+            the tiny per-step stacked outputs cross the transport once
+            per chunk. The host replays the stopping rule retroactively
+            (AdaDelta.minimize_chunked).
+
+            Probe keys are fold_in(run_key, GLOBAL iteration index), so
+            the probe sequence is independent of chunk boundaries — a
+            checkpointed run resumed mid-stream reproduces the
+            uninterrupted probe stream bit-exactly."""
+            step_rate, decay, momentum, offset = hp
+
+            def body(carry, i):
+                x, gms, sms, stp = carry
+                sub = jax.random.fold_in(key, start + i)
+                step1 = stp * momentum
+                x1 = x - step1
+                g, aux = _grad(x1, sub, grid_data, y, precond)
+                gms_n = decay * gms + (1.0 - decay) * g * g
+                step2 = (
+                    jnp.sqrt(sms + offset)
+                    / jnp.sqrt(gms_n + offset)
+                    * g
+                    * step_rate
+                )
+                x2 = x1 - step2
+                stp_n = step1 + step2
+                sms_n = decay * sms + (1.0 - decay) * stp_n * stp_n
+                gnorm = jnp.max(jnp.abs(g))
+                out = (x2, gms_n, sms_n, stp_n, gnorm,
+                       aux.solve_iters, aux.solve_error)
+                return (x2, gms_n, sms_n, stp_n), out
+
+            _, outs = jax.lax.scan(
+                body, (x0, gms0, sms0, stp0),
+                jnp.arange(chunk_len),
+            )
+            return outs
+
+        @jax.jit
+        def chunk_fn(x0, gms0, sms0, stp0, key, start, hp, grid_data, y):
+            return _chunk(x0, gms0, sms0, stp0, key, start, hp,
+                          grid_data, y, None)
+
+        @jax.jit
+        def chunk_pc_fn(x0, gms0, sms0, stp0, key, start, hp, grid_data,
+                        y, precond):
+            return _chunk(x0, gms0, sms0, stp0, key, start, hp,
+                          grid_data, y, precond)
+
         @jax.jit
         def alpha_fn(params, grid_data, y):
             K = build_kski(spec, params, grid_data, lens)
@@ -338,6 +393,8 @@ class InterpolatedLLGP(MultiGP):
 
         self._jit_grad = grad_fn
         self._jit_grad_pc = grad_pc_fn
+        self._jit_chunk = chunk_fn
+        self._jit_chunk_pc = chunk_pc_fn
         self._jit_alpha = alpha_fn
         self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
@@ -456,9 +513,60 @@ class InterpolatedLLGP(MultiGP):
                 self._record_metrics(x_flat, g, aux)
             return np.asarray(g, dtype=float)
 
+        # The run key is part of the resumable optimizer state: probe
+        # keys are fold_in(run_key, global_iter), so a resumed run
+        # continues the exact probe stream of the uninterrupted run.
+        if state is not None and "rng_key" in state:
+            run_key = jnp.asarray(np.asarray(state["rng_key"]))
+        else:
+            run_key = self._next_key()
+
+        def run_chunk(x, gms, sms, step, start_iter):
+            """One device-side chunk of AdaDelta steps (preconditioner
+            refreshed at the chunk boundary — same cadence as the
+            per-step path's `precond_refresh`)."""
+            hp = jnp.asarray(
+                [
+                    optimizer.step_rate,
+                    optimizer.decay,
+                    optimizer.momentum,
+                    optimizer.offset,
+                ],
+                dtype=self.dtype,
+            )
+            args = (
+                jnp.asarray(x, dtype=self.dtype),
+                jnp.asarray(gms, dtype=self.dtype),
+                jnp.asarray(sms, dtype=self.dtype),
+                jnp.asarray(step, dtype=self.dtype),
+                run_key,
+                jnp.asarray(start_iter, dtype=jnp.int32),
+                hp,
+                self.grid_data,
+                self.y,
+            )
+            if use_pc:
+                _refresh_pc(x)
+                outs = self._jit_chunk_pc(*args, pc_state["wb"])
+            else:
+                outs = self._jit_chunk(*args)
+            xs, gmss, smss, steps, gns, _, _ = jax.device_get(outs)
+            return xs, gmss, smss, steps, gns
+
         x0 = self.param_array
+        use_chunked = (
+            self.metrics is None and isinstance(optimizer, AdaDelta)
+        )
         try:
-            x_opt, info = optimizer.minimize(x0, fprime, state=state)
+            if use_chunked:
+                x_opt, info = optimizer.minimize_chunked(
+                    x0, run_chunk, self.precond_refresh, state=state
+                )
+                info["state"]["rng_key"] = np.asarray(run_key)
+            else:
+                x_opt, info = optimizer.minimize(
+                    x0, fprime, state=state
+                )
         except KeyboardInterrupt:
             print(
                 "{}: KeyboardInterrupt caught, terminating "

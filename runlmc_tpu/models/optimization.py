@@ -140,3 +140,89 @@ class AdaDelta:
                 "n_iter": n_iter,
             },
         }
+
+    def minimize_chunked(self, x0, run_chunk, chunk_size, state=None):
+        """Minimize with a DEVICE-side chunked gradient/update loop.
+
+        ``run_chunk(x, gms, sms, step, start_iter)`` performs
+        ``chunk_size`` full AdaDelta iterations on device (one jit call;
+        the update rule itself lives in the compiled program) and
+        returns per-step numpy arrays
+        ``(xs, gmss, smss, steps, grad_norms)`` each stacked over the
+        chunk. The host replays the reference's exact stopping rule
+        (rolling-max infinity-norm + permitted drops,
+        runlmc/models/optimization.py:59-83) over the per-step gradient
+        norms and, when the stop lands mid-chunk, rewinds to that
+        step's parameters/state — identical iterate sequence to
+        :meth:`minimize`, ~chunk_size x fewer host round-trips.
+        """
+        x = np.array(x0, dtype=float, copy=True)
+        if state is not None:
+            gms = np.array(state["gms"], dtype=float, copy=True)
+            sms = np.array(state["sms"], dtype=float, copy=True)
+            step = np.array(state["step"], dtype=float, copy=True)
+            rolling_max = float(state["rolling_max"])
+            drops = int(state["drops"])
+            n_iter = int(state["n_iter"])
+        else:
+            gms = np.zeros_like(x)
+            sms = np.zeros_like(x)
+            step = np.zeros_like(x)
+            rolling_max = 0.0
+            drops = self.permitted_drops
+            n_iter = 0
+        grad_norms = []
+        printing_delta = (
+            max(self.max_it // self.verbosity, 1) if self.verbosity else 0
+        )
+
+        stop = False
+        while not stop:
+            xs, gmss, smss, steps, gns = run_chunk(
+                x, gms, sms, step, n_iter
+            )
+            j_last = len(gns) - 1
+            for j, gn in enumerate(np.asarray(gns, dtype=float)):
+                n_iter += 1
+                gn = float(gn)
+                grad_norms.append(gn)
+                rolling_max = max(gn, rolling_max)
+                if self.verbosity and n_iter % printing_delta == 0:
+                    print(
+                        "iteration {:8d} grad norm {:10.4e}".format(
+                            n_iter, gn
+                        )
+                    )
+                self.callback()
+                if gn < self.min_grad_ratio * rolling_max:
+                    drops -= 1
+                if n_iter >= self.max_it or drops <= 0:
+                    stop = True
+                    j_last = j
+                    break
+            x = np.asarray(xs[j_last], dtype=float)
+            gms = np.asarray(gmss[j_last], dtype=float)
+            sms = np.asarray(smss[j_last], dtype=float)
+            step = np.asarray(steps[j_last], dtype=float)
+
+        if self.verbosity:
+            print(
+                "finished adadelta optimization\n"
+                "    {:10d} iterations\n"
+                "    {:10.4e} final grad norm".format(
+                    n_iter, grad_norms[-1]
+                )
+            )
+        return x, {
+            "n_iter": n_iter,
+            "grad_norm": grad_norms[-1],
+            "grad_norms": grad_norms,
+            "state": {
+                "gms": gms,
+                "sms": sms,
+                "step": step,
+                "rolling_max": rolling_max,
+                "drops": drops,
+                "n_iter": n_iter,
+            },
+        }
