@@ -37,43 +37,51 @@ class MultiGP:
 
     @staticmethod
     def _validate_io(Xs, Ys):
-        """Parity: multigp.py:199-227."""
+        """Check the ragged multi-output data lists are mutually
+        consistent; returns ``(input_dim, output_dim)``. Behavioral
+        parity: runlmc/models/multigp.py:199-227 (same error
+        conditions; messages are this repo's own)."""
         if not len(Xs):
             raise ValueError("Expecting at least 1 output")
         if len(Xs) != len(Ys):
             raise ValueError(
-                "Differing number of inputs {} and outputs {}".format(
+                "got {} input lists but {} observation lists".format(
                     len(Xs), len(Ys)
                 )
             )
+        dims = set()
         for i, (X, Y) in enumerate(zip(Xs, Ys)):
             X, Y = np.asarray(X), np.asarray(Y)
-            if len(X) != len(Y):
-                raise ValueError(
-                    "Output {} has {} inputs and {} observed vals".format(
-                        i, len(X), len(Y)
-                    )
-                )
             if X.ndim not in (1, 2):
                 raise ValueError(
-                    "Input {} mishapen, {} not 1D or 2D".format(i, X.shape)
+                    "input {} has shape {}; expected 1-D or 2-D".format(
+                        i, X.shape
+                    )
                 )
             if Y.ndim != 1:
                 raise ValueError(
-                    "Output {} mishapen, {} not 1D".format(i, Y.shape)
+                    "observations {} have shape {}; expected 1-D".format(
+                        i, Y.shape
+                    )
                 )
-        dims = {
-            np.asarray(X).shape[1] for X in Xs if np.asarray(X).ndim > 1
-        }
-        if not dims:
-            dims = {1}
+            if len(X) != len(Y):
+                raise ValueError(
+                    "output {}: {} inputs vs {} observations".format(
+                        i, len(X), len(Y)
+                    )
+                )
+            if len(Y) and np.std(Y) == 0:
+                raise ValueError(
+                    "output {} is constant (std dev 0); it cannot be "
+                    "z-scored or meaningfully fit".format(i)
+                )
+            dims.add(X.shape[1] if X.ndim == 2 else 1)
         if len(dims) != 1:
             raise ValueError(
-                "Found inputs of varying dimensions {}".format(dims)
+                "inputs have inconsistent dimensions {}".format(
+                    sorted(dims)
+                )
             )
-        for i, Y in enumerate(Ys):
-            if len(Y) and np.std(Y) == 0:
-                raise ValueError("Output {} has std dev 0".format(i))
         return dims.pop(), len(Xs)
 
     def _pad_dims(self, Xs):

@@ -1,3 +1,3 @@
-from runlmc_tpu.ops import bttb, interpolation, operators, schur, solvers
+from runlmc_tpu.ops import bttb, interpolation, operators, solvers
 
-__all__ = ["bttb", "interpolation", "operators", "schur", "solvers"]
+__all__ = ["bttb", "interpolation", "operators", "solvers"]

@@ -167,31 +167,40 @@ def interp_output_blocks(Xs, grid_axes):
 
 
 def autogrid(Xs, lo=None, hi=None, m=None):
-    """Default interpolation grid: per-dim linspace over the data range,
-    padded by two cells on each side (``m += 4``), with default m = mean
-    series length (parity: runlmc/approx/interpolation.py:179-215)."""
-    Xs = [np.asarray(X) for X in Xs]
-    Xs = [X.reshape(len(X), -1) for X in Xs]
-    P = Xs[0].shape[1]
+    """Default interpolation grid: per-dim linspace covering the pooled
+    data range, padded by two extra cells on each side (so the cubic
+    stencil of boundary samples stays interior), with the per-dim size
+    defaulting to the mean series length. Behavioral parity:
+    runlmc/approx/interpolation.py:179-215.
+
+    ``Xs``: per-output sample arrays; ``lo``/``hi``/``m``: optional
+    per-dim bound/size overrides (data-range bounds always win when
+    they are wider). Returns a list of P 1-D numpy axes.
+    """
+    stacked = np.concatenate(
+        [np.asarray(X, dtype=float).reshape(len(X), -1) for X in Xs]
+    )
+    P = stacked.shape[1]
     for name, v in (("lo", lo), ("hi", hi), ("m", m)):
         if v is not None and len(v) != P:
             raise ValueError("%s must have length %d" % (name, P))
 
-    max_lo = np.vstack([X.min(axis=0) for X in Xs]).min(axis=0)
-    min_hi = np.vstack([X.max(axis=0) for X in Xs]).max(axis=0)
-
+    data_lo = stacked.min(axis=0)
+    data_hi = stacked.max(axis=0)
+    lower = data_lo if lo is None else np.minimum(lo, data_lo)
+    upper = data_hi if hi is None else np.maximum(hi, data_hi)
     if m is None:
-        m = np.ones(P) * (sum(len(X) for X in Xs) // len(Xs))
+        mean_len = sum(len(X) for X in Xs) // len(Xs)
+        sizes = np.full(P, mean_len)
     else:
-        m = np.asarray(m)
-    lo = (max_lo if lo is None else np.minimum(lo, max_lo)).astype(float)
-    hi = (min_hi if hi is None else np.maximum(hi, min_hi)).astype(float)
+        sizes = np.asarray(m)
 
-    delta = (hi - lo) / m
-    lo = lo - 2 * delta
-    hi = hi + 2 * delta
-    m = m + 4
-    return [np.linspace(l, h, int(mm)) for l, h, mm in zip(lo, hi, m)]
+    cell = (upper - lower) / sizes
+    return [
+        np.linspace(lower[p] - 2 * cell[p], upper[p] + 2 * cell[p],
+                    int(sizes[p]) + 4)
+        for p in range(P)
+    ]
 
 
 @flax.struct.dataclass

@@ -27,7 +27,8 @@ Correspondence (reference file -> class here):
   sum_matrix.py `SumMatrix`       -> Sum
   composition.py `Composition`    -> Composition
   approx/ski.py `SKI`             -> SKI (in runlmc_tpu/ops/interpolation.py)
-  shur.py `shur`                  -> runlmc_tpu/ops/schur.py
+  shur.py `shur`                  -> omitted (dead code in the reference;
+                                     not imported anywhere there either)
 """
 
 from typing import Any, Callable, Tuple

@@ -146,12 +146,3 @@ def test_operators_are_jittable(rng):
     np.testing.assert_allclose(f(op, v), op.matvec(v), rtol=1e-12)
 
 
-def test_schur_cholesky(rng):
-    from runlmc_tpu.ops.schur import schur_toeplitz_cholesky
-    from tests.utils import exp_decr_toep
-
-    top = exp_decr_toep(rng, 8)
-    top[0] += 0.5  # safely PD
-    c = schur_toeplitz_cholesky(top)
-    dense = bttb_dense_oracle(top, (8,))
-    np.testing.assert_allclose(c.T @ c, dense, rtol=1e-8, atol=1e-8)
