@@ -116,6 +116,8 @@ class GridData:
     interp: Interp = None  # W for the training inputs, (n, D*m)
     idx_map: Any = None  # (m, m) int32 BTTB index map ('dense' mode)
     W_blocks: Any = None  # per-output dense (n_d, m) blocks ('dense')
+    WtW: Any = None  # (D, m, m) stacked per-output grams W_d^T W_d
+    # ('dense'; feeds the device Woodbury capacitance assembly)
 
 
 def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
@@ -172,13 +174,15 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
         # device exactly once, in one batch.
         idx_map = None
         W_blocks = None
+        wtw = None
         if group_mode == "dense":
             idx_map = bttb_ops.bttb_index_map(sizes)
             W_blocks = tuple(interp_output_blocks(Xs_active, axes))
+            wtw = np.stack([b.T @ b for b in W_blocks])
         out.append(
             GridData(
                 plan=plan, dists=dists, interp=interp,
-                idx_map=idx_map, W_blocks=W_blocks,
+                idx_map=idx_map, W_blocks=W_blocks, WtW=wtw,
             )
         )
         all_axes.append(axes)
@@ -309,6 +313,32 @@ def to_inner_f32(grid_data):
                 ),
                 idx_map=None,
                 W_blocks=None,
+                WtW=None,
+            )
+        )
+    return tuple(out)
+
+
+def to_dense_f32(grid_data):
+    """Float32 copies of the dense-mode grid artifacts — the inputs to
+    the per-step float32 direct Woodbury factorization (woodbury.py).
+    Index maps are shared (ints); everything float is downcast."""
+    out = []
+    for gd in grid_data:
+        assert gd.plan.mode == "dense", gd.plan
+        out.append(
+            gd.replace(
+                idx_map=jnp.asarray(gd.idx_map),
+                dists=jnp.asarray(gd.dists, dtype=jnp.float32),
+                interp=gd.interp.replace(
+                    weights=jnp.asarray(
+                        gd.interp.weights, dtype=jnp.float32
+                    )
+                ),
+                W_blocks=tuple(
+                    jnp.asarray(b, dtype=jnp.float32) for b in gd.W_blocks
+                ),
+                WtW=jnp.asarray(gd.WtW, dtype=jnp.float32),
             )
         )
     return tuple(out)
@@ -401,32 +431,6 @@ class KSKI(LinearOperator):
             out = out + g.matvec(x)
         return out
 
-    def upper_eig_bound(self):
-        bound = float(jnp.max(self.noise_n))
-        for g in self.groups:
-            m = int(np.prod(g.sizes))
-            n = self.noise_n.shape[0]
-            # crude SKI bound (parity in spirit with ski.py:22-23)
-            gb = 0.0
-            if g.rep == "sum" and g.mode == "fft":
-                for q in range(g.grid_tops.shape[0]):
-                    gb += float(
-                        jnp.abs(g.B[q]).sum()
-                        * bttb_ops.bttb_eig_upper_bound(
-                            np.asarray(g.grid_tops[q]), g.sizes
-                        )
-                    )
-            else:
-                gb = float(
-                    sum(
-                        bttb_ops.bttb_eig_upper_bound(
-                            np.asarray(t), g.sizes
-                        )
-                        for t in np.asarray(g.grid_tops)
-                    )
-                )
-            bound += gb * n / m
-        return bound
 
 
 def build_kski(spec: LMCKernelSpec, raw_params, grid_data, lens) -> KSKI:

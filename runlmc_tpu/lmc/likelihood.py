@@ -37,8 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from runlmc_tpu.lmc.grid import build_kski, to_inner_f32
+from runlmc_tpu.lmc.grid import build_kski
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
+from runlmc_tpu.lmc.woodbury import build_device_woodbury, woodbury_pcg
 from runlmc_tpu.ops.solvers import batched_cg, batched_minres
 
 
@@ -150,7 +151,8 @@ def stochastic_mll_surrogate(
     tol=1e-4,
     maxiter=None,
     method="minres",
-    precond=None,
+    grid_data32=None,
+    rhs_sharding=None,
 ):
     """Scalar whose autodiff gradient is the stochastic MLL gradient.
 
@@ -158,44 +160,45 @@ def stochastic_mll_surrogate(
     ``jax.grad(..., has_aux=True)``. The surrogate's *value* is not the
     log-likelihood (use :func:`exact_mll` or a logdet estimator for
     reporting); only its gradient is meaningful.
+
+    ``grid_data32``: float32 dense-mode grid artifacts
+    (:func:`runlmc_tpu.lmc.grid.to_dense_f32`). When given, the
+    (1 + N)-RHS system is solved DIRECTLY: a fresh float32 Woodbury
+    factorization of K is built on device this step and a handful of
+    full-precision PCG iterations certify the residual tolerance
+    (woodbury.py). When absent, batched Krylov (MINRES/CG) runs as in
+    the reference.
+
+    ``rhs_sharding``: optional ``NamedSharding`` constraining the
+    right-hand-side batch layout — the mesh data-parallel axis
+    (replaces the reference's pool.starmap over solves,
+    stochastic_deriv.py:51-52).
     """
-    # Solve K^-1 [y, r_1..r_N] with gradients blocked: the Krylov loop is
+    # Solve K^-1 [y, r_1..r_N] with gradients blocked: the solver loop is
     # not differentiated (and need not be — the estimator only needs the
     # solutions as constants).
     solve_params = jax.lax.stop_gradient(raw_params)
     K_ng = build_kski(spec, solve_params, grid_data, lens)
     rhs = jnp.concatenate([y[None], probes], axis=0)
-    solver = batched_minres if method == "minres" else batched_cg
+    if rhs_sharding is not None:
+        rhs = jax.lax.with_sharding_constraint(rhs, rhs_sharding)
 
-    if precond is not None:
-        # Preconditioned CG with a (possibly stale) Woodbury
-        # factorization of K: M^-1 K ~ I, so a handful of f64 dense
-        # matvec iterations solve exactly at any conditioning. The
-        # factor is refreshed outside the jit every few optimizer steps
-        # (host eigendecomposition, amortized).
-        res = batched_cg(
-            K_ng.matvec, rhs, tol=tol, maxiter=maxiter,
-            precond=precond.solve,
+    if grid_data32 is not None:
+        # Direct path: per-step f32 factorization + PCG certification.
+        params32 = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
         )
+        K32 = build_kski(spec, params32, grid_data32, lens)
+        wb = build_device_woodbury(
+            K32.groups,
+            spec.noise(params32),
+            K32.noise_n,
+            tuple(gd.WtW for gd in grid_data32),
+        )
+        res = woodbury_pcg(K_ng.matvec, wb, rhs, tol=tol, maxiter=maxiter)
     else:
-        # Mixed-precision refinement on f64 dense-mode systems: inner
-        # f32 FFT Krylov cycles (fast) + f64 dense true-residual outer
-        # loop (accurate) — see ops/solvers.py.
-        solver_kwargs = {}
-        if y.dtype == jnp.float64 and all(
-            gd.plan.mode == "dense" for gd in grid_data
-        ):
-            params32 = jax.tree.map(
-                lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
-            )
-            K32 = build_kski(
-                spec, params32, to_inner_f32(grid_data), lens
-            )
-            solver_kwargs = dict(
-                inner_matvec=K32.matvec, inner_dtype=jnp.float32
-            )
-        res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter,
-                     **solver_kwargs)
+        solver = batched_minres if method == "minres" else batched_cg
+        res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter)
     sols = jax.lax.stop_gradient(res.x)
     alpha = sols[0]
     zs = sols[1:]

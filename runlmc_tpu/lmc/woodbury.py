@@ -1,354 +1,247 @@
-"""Direct Woodbury factorization of the SKI covariance (dense grid mode).
+"""On-device direct Woodbury factorization of the SKI covariance
+(dense grid mode) — the TPU answer to the reference's per-step pool of
+MINRES solves (runlmc/lmc/stochastic_deriv.py:39-52) and its pooled
+prediction solves (runlmc/models/interpolated_llgp.py:358-397).
 
-With the grid kernel materialized (grid.py 'dense' mode), the SKI
-covariance of each group factors through its grid eigendecomposition
-K_UU = U diag(lam) U^T, so the full covariance is
+With the grid kernel materialized (grid.py 'dense' mode), write
 
     K = sum_g W_g K_UU_g W_g^T + diag(eps)  =  V V^T + D,
-    V = [ W_g F_g ]_g,   F_g = U_g diag(sqrt(lam_g))  (Dm_g x k_g),
+    V = [ W_g F_g ]_g,   F_g = chol(K_UU_g + delta_g I)  (Dm_g x Dm_g),
 
-and Woodbury gives a *closed-form* inverse and determinant:
+and Woodbury gives a closed-form inverse and determinant:
 
-    K^-1 = D^-1 - D^-1 V C^-1 V^T D^-1,   C = I_k + V^T D^-1 V,
+    K^-1 = D^-1 - D^-1 V C^-1 V^T D^-1,   C = I + V^T D^-1 V,
     log det K = log det C + sum_i log D_ii.
 
-This replaces the reference's iterative prediction machinery — the
-pooled per-test-point MINRES solves of 'on-the-fly' mode
-(runlmc/models/interpolated_llgp.py:390-397) and the D*m pooled solves
-of 'precompute' mode (:358-388) — with a few MXU contractions: solving
-against B right-hand sides costs O(B(n*taps + k*Dm + k^2)) after a
-one-off factorization per hyperparameter setting. It also upgrades
-log-likelihood reporting: the reference computes log det via an O(n^3)
-dense Cholesky (interpolated_llgp.py:262-276); here the SKI log det is
-exact in O(k^3 + k^2 Dm).
+Everything here runs under jit ON DEVICE — build, solve, logdet. The
+factorization is float-dtype-generic; the training step builds it in
+float32 every optimizer step (measured: an f32 Cholesky of the full
+3094-point fx2007 grid kernel costs <1 ms on a TPU v5e, while a single
+f64 Krylov matvec costs ~5 ms) and certifies the reference's 1e-4
+residual tolerance by running a handful of float64 PCG iterations with
+the f32 factor as preconditioner (:func:`woodbury_pcg`). No host
+round-trips: on the tunneled-TPU transport a single (Dm, Dm) pull costs
+minutes (measured 102 s for 76 MB), which is what the round-1
+host-side factorization paid.
 
-Efficiency notes:
-- V is never materialized: applying V / V^T goes through the sparse
-  interpolation operators (gather/scatter) and the small dense F_g.
-- C is assembled as I + F^T M F with M = W^T D^-1 W built by ONE
-  scatter-add over the n * taps^2 weight pairs — O(k^2 Dm) instead of
-  the naive O(k^2 n) dense contraction (8-700x cheaper at benchmark
-  shapes).
-- Numerically-zero grid eigenvalues are truncated (RBF-type grid
-  kernels are strongly rank-deficient), so k is the *effective* grid
-  rank, often far below D*m. C has eigenvalues >= 1, so inverting it
-  is stable at any conditioning of K.
-- The eigendecompositions and the Cholesky/inverse of C run on the
-  HOST in LAPACK f64: XLA-TPU f64 matmuls run at ~4 TFLOPS on the MXU,
-  but its f64 factorizations are orders of magnitude slower than
-  LAPACK. Everything O(n)-sized stays on device.
+Numerical notes:
+- Cholesky jitter escalates through fixed scales (jit-compatible: all
+  candidates are computed, the first finite one wins). The jitter
+  perturbs the PRECONDITIONER only — the refinement loop measures true
+  residuals against the exact operator.
+- C has eigenvalues >= 1 but condition ~ lambda_max(K_UU)/eps; at very
+  small learned noise the f32 C assembly can lose definiteness, which
+  the escalation absorbs at some preconditioner-quality cost. PCG then
+  stalls at its precision floor and keeps the best iterate (mirroring
+  the reference's logged-but-tolerated MINRES non-convergence,
+  runlmc/approx/iterative.py:54-58).
+- W_g applications use the per-output dense interpolation blocks (MXU
+  matmuls); the per-output grams W_d^T W_d feeding C are precomputed
+  host-side at model build (parameter-independent).
 """
 
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from runlmc_tpu.ops.solvers import batched_cg
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def interp_gram(interp_a, interp_b, inv_d):
-    """M = W_a^T diag(inv_d) W_b as a dense (Dm_a, Dm_b) array, by
-    scatter-accumulating the n * taps_a * taps_b weight products."""
-    ia, wa = interp_a.indices, interp_a.weights  # (n, ta)
-    ib, wb = interp_b.indices, interp_b.weights  # (n, tb)
-    dma, dmb = interp_a.ncols, interp_b.ncols
-    out = jnp.zeros((dma * dmb,), dtype=wa.dtype)
-    scaled = wa * inv_d[:, None]  # (n, ta)
-    # chunk over ta to bound the (n, ta, tb) temporary
-    for t in range(ia.shape[1]):
-        flat = ia[:, t : t + 1] * dmb + ib  # (n, tb)
-        vals = scaled[:, t : t + 1] * wb  # (n, tb)
-        out = out.at[flat.reshape(-1)].add(vals.reshape(-1))
-    return out.reshape(dma, dmb)
+def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2)):
+    """Cholesky of ``A + delta*I`` with escalating jitter, jit-safe: a
+    candidate factor is computed at every scale (XLA's cholesky yields
+    NaNs rather than raising on an indefinite input) and the first
+    finite one is selected. ``scales`` are relative to mean(diag(A))."""
+    d = jnp.abs(jnp.mean(jnp.diagonal(A)))
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    L = jnp.linalg.cholesky(A + (scales[0] * d) * eye)
+    for s in scales[1:]:
+        ok = jnp.all(jnp.isfinite(L))
+        cand = jnp.linalg.cholesky(A + (s * d) * eye)
+        L = jnp.where(ok, L, cand)
+    return L
 
 
-class WoodburyFactor(NamedTuple):
-    interps: Tuple  # per-group Interp (W_g)
-    Fs: Tuple[jax.Array, ...]  # per-group (Dm_g, k_g)
-    noise_n: jax.Array  # (n,)
-    C_inv: jax.Array  # (k, k) inverse of C = I + V^T D^-1 V
-    logdet: float  # log det K (python float, host-computed)
-    # optional per-group per-output dense interp blocks: W/W^T become
-    # MXU matmuls instead of gather/scatter (the scatter dominates the
-    # per-application cost on TPU otherwise)
-    W_blocks: Tuple = ()
+class DeviceWoodbury(NamedTuple):
+    """Factorized SKI covariance; a pytree of device arrays — pass it
+    through jit boundaries as an argument."""
+
+    Fs: Tuple  # per-group (Dm_g, Dm_g) lower Cholesky of K_UU_g
+    L_C: jax.Array  # (k, k) lower Cholesky of C, k = sum_g Dm_g
+    noise_n: jax.Array  # (n,) per-data-point noise
+    W_blocks: Tuple  # per-group tuple of per-output (n_d, m_g) blocks
+    logdet: jax.Array  # device scalar: log det of the factorized K
 
     @property
-    def n(self):
-        return self.noise_n.shape[0]
-
-    @property
-    def k(self):
-        return sum(f.shape[1] for f in self.Fs)
+    def dtype(self):
+        return self.L_C.dtype
 
     def _wt(self, g, x):
         """W_g^T x: (..., n) -> (..., Dm_g)."""
-        if self.W_blocks and self.W_blocks[g] is not None:
-            blocks = self.W_blocks[g]
-            splits = np.cumsum([b.shape[0] for b in blocks])[:-1]
-            xs = jnp.split(x, splits, axis=-1)
-            return jnp.concatenate(
-                [
-                    jnp.einsum("nm,...n->...m", b, xd, precision=_HI)
-                    for b, xd in zip(blocks, xs)
-                ],
-                axis=-1,
-            )
-        return self.interps[g].rmatvec(x)
+        blocks = self.W_blocks[g]
+        off, parts = 0, []
+        for b in blocks:
+            xd = jax.lax.slice_in_dim(x, off, off + b.shape[0], axis=-1)
+            parts.append(jnp.einsum("nm,...n->...m", b, xd, precision=_HI))
+            off += b.shape[0]
+        return jnp.concatenate(parts, axis=-1)
 
     def _w(self, g, u):
         """W_g u: (..., Dm_g) -> (..., n)."""
-        if self.W_blocks and self.W_blocks[g] is not None:
-            blocks = self.W_blocks[g]
-            m = blocks[0].shape[1]
-            outs = [
+        blocks = self.W_blocks[g]
+        m = blocks[0].shape[1]
+        return jnp.concatenate(
+            [
                 jnp.einsum(
                     "nm,...m->...n", b, u[..., d * m : (d + 1) * m],
                     precision=_HI,
                 )
                 for d, b in enumerate(blocks)
-            ]
-            return jnp.concatenate(outs, axis=-1)
-        return self.interps[g].matvec(u)
+            ],
+            axis=-1,
+        )
 
     def _vt(self, x):
         """V^T x: (..., n) -> (..., k)."""
         parts = [
-            jnp.einsum(
-                "mk,...m->...k", f, self._wt(g, x), precision=_HI
-            )
+            jnp.einsum("ik,...i->...k", f, self._wt(g, x), precision=_HI)
             for g, f in enumerate(self.Fs)
         ]
-        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     def _v(self, t):
         """V t: (..., k) -> (..., n)."""
-        out = 0.0
-        off = 0
+        out, off = 0.0, 0
         for g, f in enumerate(self.Fs):
             kg = f.shape[1]
             tg = t[..., off : off + kg]
             out = out + self._w(
-                g, jnp.einsum("mk,...k->...m", f, tg, precision=_HI)
+                g, jnp.einsum("ik,...k->...i", f, tg, precision=_HI)
             )
             off += kg
         return out
 
+    def _cho_solve_C(self, s):
+        """C^-1 s for s (..., k)."""
+        flat = s.reshape(-1, s.shape[-1])
+        sol = jax.scipy.linalg.cho_solve((self.L_C, True), flat.T).T
+        return sol.reshape(s.shape)
+
     def solve(self, rhs):
-        """K^-1 rhs for rhs (..., n) — closed form, no iteration."""
+        """K^-1 rhs for rhs (..., n): closed form, no iteration."""
         r = rhs / self.noise_n
-        s = self._vt(r)
-        t = jnp.einsum("kl,...l->...k", self.C_inv, s, precision=_HI)
+        t = self._cho_solve_C(self._vt(r))
         return r - self._v(t) / self.noise_n
 
     def matvec(self, x):
-        """K x (for residual checks)."""
+        """K x (the factorized operator, for residual checks)."""
         return self._v(self._vt(x)) + self.noise_n * x
 
 
-def grid_eig_factors(kuu_dense_list, rtol=1e-12, fixed_rank=False):
-    """Host-side truncated eigendecompositions of the per-group dense
-    grid kernels. Returns a list of (Dm_g, k_g) float64 arrays
-    U_g sqrt(lam_g) keeping eigenvalues > rtol * lam_max.
+def build_device_woodbury(
+    groups, noise_eps, noise_n, wtw, jitter=(1e-6, 1e-4, 1e-2),
+    c_jitter=(0.0, 1e-6, 1e-3),
+):
+    """Factor the SKI covariance entirely on device (jittable).
 
-    ``fixed_rank=True`` keeps all Dm_g columns (negative eigenvalues
-    clipped to zero) so the factor SHAPE is parameter-independent —
-    required when the factor feeds a jitted function across refreshes
-    (a rank change would trigger a full XLA recompile)."""
-    factors = []
-    for kuu in kuu_dense_list:
-        kuu = np.asarray(kuu, dtype=np.float64)
-        if fixed_rank:
-            # jittered Cholesky: ~10x cheaper than eigh on the host and
-            # just as good a factor (M = W (K_UU + delta I) W^T + D
-            # differs from K by a negligible delta W W^T)
-            delta = max(np.trace(kuu) / len(kuu), 1e-300) * 1e-12
-            ident = np.eye(len(kuu))
-            while True:
-                try:
-                    factors.append(np.linalg.cholesky(kuu + delta * ident))
-                    break
-                except np.linalg.LinAlgError:
-                    delta *= 100.0
-            continue
-        lam, u = np.linalg.eigh(kuu)
-        cut = max(lam[-1], 0.0) * rtol
-        keep = lam > cut
-        factors.append(u[:, keep] * np.sqrt(lam[keep]))
-    return factors
-
-
-def host_grid_kuu(spec, raw_params, dists_np, idx_map_np, kidxs):
-    """Build one group's dense grid kernel ON THE HOST in float64 from
-    the (tiny) raw parameters and precomputed distances/index map —
-    avoids pulling the (Dm, Dm) device array over the (slow) transport
-    when refreshing the training preconditioner."""
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        p64 = jax.tree.map(
-            lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64),
-            raw_params,
-        )
-        d = jnp.asarray(np.asarray(dists_np, dtype=np.float64))
-        tops = np.asarray(spec.eval_kernels_stacked(p64, d, kidxs))
-        B = np.asarray(spec.coreg_mats(p64, kidxs))
-    T = tops[:, idx_map_np]  # (Qg, m, m)
-    dm = B.shape[1] * T.shape[1]
-    kuu = np.einsum("qde,qij->diej", B, T, optimize=True)
-    return kuu.reshape(dm, dm)
-
-
-def chol_factor_jittered(kuu):
-    """Host Cholesky of K_UU + delta*I with escalating jitter; the
-    resulting factor F satisfies F F^T = K_UU up to a negligible
-    delta-perturbation — a preconditioner-grade (indeed near-exact)
-    factor at ~10x less host time than eigh."""
-    kuu = np.asarray(kuu, dtype=np.float64)
-    delta = max(np.trace(kuu) / len(kuu), 1e-300) * 1e-12
-    ident = np.eye(len(kuu))
-    while True:
-        try:
-            return np.linalg.cholesky(kuu + delta * ident)
-        except np.linalg.LinAlgError:
-            delta *= 100.0
-
-
-@jax.jit
-def newton_inv(C, X0):
-    """Invert SPD C on device by Newton-Schulz iteration
-    X <- X (2I - C X), warm-startable from a previous inverse. Falls
-    back to the conservative cold start X0c = I/||C||_inf when the
-    provided X0 is out of the convergence region. All work is k^3 MXU
-    matmuls — no host round-trip (XLA-TPU f64 factorizations and the
-    transport to the host are both orders of magnitude slower)."""
-    k = C.shape[0]
-    ident = jnp.eye(k, dtype=C.dtype)
-    hi = jax.lax.Precision.HIGHEST
-
-    def err_of(X):
-        R = ident - jnp.matmul(C, X, precision=hi)
-        return jnp.linalg.norm(R) / jnp.sqrt(k).astype(C.dtype), R
-
-    cold = ident / jnp.max(jnp.sum(jnp.abs(C), axis=1))
-    e_warm, _ = err_of(X0)
-    X_init = jnp.where(e_warm < 0.9, 1.0, 0.0) * X0 + jnp.where(
-        e_warm < 0.9, 0.0, 1.0
-    ) * cold
-
-    def cond(s):
-        X, e, i = s
-        return (e > 1e-13) & (i < 64)
-
-    def body(s):
-        X, _, i = s
-        e, R = err_of(X)
-        Xn = X + jnp.matmul(X, R, precision=hi)
-        en, _ = err_of(Xn)
-        better = en < e
-        return (
-            jnp.where(better, Xn, X),
-            jnp.where(better, en, jnp.asarray(0.0, C.dtype)),
-            i + 1,
-        )
-
-    e0, _ = err_of(X_init)
-    X, e, _ = jax.lax.while_loop(cond, body, (X_init, e0, 0))
-    return X
-
-
-def _c_blocks(interps, W_blocks, Fs, noise_n):
-    """Assemble C = I + F^T (W^T D^-1 W) F on device (blockwise for
-    multi-group models)."""
-    inv_d = 1.0 / noise_n
-    nblocks = len(Fs)
-    rows = []
-    for a in range(nblocks):
-        row = []
-        for b in range(nblocks):
-            if b < a:
-                row.append(None)
-                continue
-            M = interp_gram(interps[a], interps[b], inv_d)
-            row.append(
-                jnp.einsum(
-                    "mk,mp,pl->kl", Fs[a], M, Fs[b],
-                    precision=_HI,
-                )
-            )
-        rows.append(row)
-    for a in range(nblocks):
-        for b in range(a):
-            rows[a][b] = rows[b][a].T
-    C = jnp.block(rows) if nblocks > 1 else rows[0][0]
-    return C + jnp.eye(C.shape[0], dtype=noise_n.dtype)
-
-
-def build_precond(
-    interps, W_blocks, Fs_np, noise_n, prev_C_inv=None
-) -> WoodburyFactor:
-    """Assemble a training-solve preconditioner from host-computed
-    grid-kernel Cholesky factors: C built on device, inverted on device
-    by warm-started Newton-Schulz. Total per-refresh transport is just
-    the F factors (host -> device); nothing comes back."""
-    dtype = noise_n.dtype
-    Fs = tuple(jnp.asarray(f, dtype=dtype) for f in Fs_np)
-    C = _c_blocks(interps, W_blocks, Fs, noise_n)
-    if prev_C_inv is None or prev_C_inv.shape != C.shape:
-        prev_C_inv = jnp.eye(C.shape[0], dtype=dtype)
-    C_inv = newton_inv(C, prev_C_inv)
-    return WoodburyFactor(
-        interps=interps,
-        Fs=Fs,
-        noise_n=noise_n,
-        C_inv=C_inv,
-        logdet=float("nan"),  # preconditioner only — no determinant
-        W_blocks=W_blocks,
-    )
-
-
-def build_woodbury(
-    groups, noise_n, rtol=1e-12, fixed_rank=False
-) -> WoodburyFactor:
-    """Factor the SKI covariance from dense-mode group states.
-
-    ``groups``: GroupState tuple with ``KUU_dense`` set (grid.py).
-    ``noise_n``: per-data-point noise (n,).
-    ``fixed_rank``: see :func:`grid_eig_factors` — use when the factor
-    is passed into a jitted training step.
+    :param groups: dense-mode ``GroupState`` tuple (``KUU_dense`` and
+        ``W_blocks`` set — grid.py).
+    :param noise_eps: (D,) constrained per-output noise.
+    :param noise_n: (n,) per-data-point noise.
+    :param wtw: per-group (D, m_g, m_g) stacked per-output interpolation
+        grams W_d^T W_d (``GridData.WtW``, host-precomputed).
+    :param jitter: escalating relative jitter scales for the K_UU
+        Cholesky factors (see :func:`chol_jittered`).
+    :param c_jitter: same for the capacitance matrix C.
     """
     for g in groups:
-        if g.KUU_dense is None:
+        if g.KUU_dense is None or g.W_blocks is None:
             raise ValueError(
-                "Woodbury factorization requires dense grid mode"
+                "device Woodbury factorization requires dense grid mode"
             )
-    factors = grid_eig_factors(
-        [g.KUU_dense for g in groups], rtol=rtol, fixed_rank=fixed_rank
-    )
     dtype = noise_n.dtype
-    Fs = tuple(jnp.asarray(f, dtype=dtype) for f in factors)
-    interps = tuple(g.interp for g in groups)
+    Fs = tuple(chol_jittered(g.KUU_dense, scales=jitter) for g in groups)
+    inv_eps = (1.0 / noise_eps).astype(dtype)
 
-    w_blocks = tuple(g.W_blocks for g in groups)
-    C = _c_blocks(interps, w_blocks, Fs, noise_n)
+    def diag_block(F, G):
+        # C_gg = sum_d eps_d^-1 F[d-rows]^T (W_d^T W_d) F[d-rows]
+        D = G.shape[0]
+        m = G.shape[1]
+        Fd = F.reshape(D, m, F.shape[1])
+        T1 = jnp.einsum("dij,djk->dik", G, Fd, precision=_HI)
+        return jnp.einsum(
+            "d,dik,dil->kl", inv_eps, Fd, T1, precision=_HI
+        )
 
-    # Cholesky + inverse on host (f64 LAPACK; XLA-TPU f64
-    # factorizations are orders of magnitude slower).
-    import scipy.linalg
+    def cross_block(ga, gb, Fa, Fb):
+        # C_ab = sum_d eps_d^-1 Fa[d-rows]^T (W_ad^T W_bd) Fb[d-rows]
+        ma = groups[ga].W_blocks[0].shape[1]
+        mb = groups[gb].W_blocks[0].shape[1]
+        out = 0.0
+        for d, (wa, wb) in enumerate(
+            zip(groups[ga].W_blocks, groups[gb].W_blocks)
+        ):
+            G_ab = jnp.einsum("ni,nj->ij", wa, wb, precision=_HI)
+            Fad = Fa[d * ma : (d + 1) * ma]
+            Fbd = Fb[d * mb : (d + 1) * mb]
+            out = out + inv_eps[d] * jnp.einsum(
+                "ik,ij,jl->kl", Fad, G_ab, Fbd, precision=_HI
+            )
+        return out
 
-    C_host = np.asarray(C, dtype=np.float64)
-    L = np.linalg.cholesky(C_host)
-    C_inv = scipy.linalg.cho_solve((L, True), np.eye(L.shape[0]))
-    logdet = float(
-        2.0 * np.log(np.diagonal(L)).sum()
-        + np.log(np.asarray(noise_n, dtype=np.float64)).sum()
+    nblocks = len(groups)
+    if nblocks == 1:
+        C = diag_block(Fs[0], wtw[0])
+    else:
+        rows = [[None] * nblocks for _ in range(nblocks)]
+        for a in range(nblocks):
+            rows[a][a] = diag_block(Fs[a], wtw[a])
+            for b in range(a + 1, nblocks):
+                rows[a][b] = cross_block(a, b, Fs[a], Fs[b])
+        for a in range(nblocks):
+            for b in range(a):
+                rows[a][b] = rows[b][a].T
+        C = jnp.block(rows)
+    C = C + jnp.eye(C.shape[0], dtype=dtype)
+    L_C = chol_jittered(C, scales=c_jitter)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_C))) + jnp.sum(
+        jnp.log(noise_n)
     )
-    return WoodburyFactor(
-        interps=interps,
+    return DeviceWoodbury(
         Fs=Fs,
+        L_C=L_C,
         noise_n=noise_n,
-        C_inv=jnp.asarray(C_inv, dtype=dtype),
+        W_blocks=tuple(g.W_blocks for g in groups),
         logdet=logdet,
-        W_blocks=w_blocks,
+    )
+
+
+def woodbury_precond(wb: DeviceWoodbury):
+    """An ``M^-1``-apply for :func:`runlmc_tpu.ops.solvers.batched_cg`:
+    scales the (possibly tiny late-stage) residual to O(1), applies the
+    factor in its own (low) precision, and casts back."""
+
+    def apply(r):
+        scale = jnp.max(jnp.abs(r))
+        safe = jnp.where(scale > 0, scale, 1.0)
+        out = wb.solve((r / safe).astype(wb.dtype))
+        return out.astype(r.dtype) * safe
+
+    return apply
+
+
+def woodbury_pcg(matvec, wb: DeviceWoodbury, b, tol, maxiter=None,
+                 cycle=10):
+    """Solve ``K x = b`` (batched over leading axis) by CG in ``b``'s
+    precision, preconditioned with a (typically float32) direct Woodbury
+    factor. With the factor near-exact this converges in a handful of
+    iterations; the outer refinement cycles (every ``cycle`` iterations)
+    recompute true residuals and keep the best iterate (ops/solvers.py).
+    """
+    return batched_cg(
+        matvec, b, tol=tol, maxiter=maxiter, precond=woodbury_precond(wb),
+        cycle=cycle,
     )

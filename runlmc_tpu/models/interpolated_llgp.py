@@ -22,13 +22,11 @@ import numpy as np
 from jax.flatten_util import ravel_pytree
 
 from runlmc_tpu.lmc import likelihood as lk
-from runlmc_tpu.lmc.grid import build_kski, make_grids
+from runlmc_tpu.lmc.grid import build_kski, make_grids, to_dense_f32
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
 from runlmc_tpu.lmc.woodbury import (
-    build_precond,
-    build_woodbury,
-    chol_factor_jittered,
-    host_grid_kuu,
+    build_device_woodbury,
+    woodbury_pcg,
 )
 from runlmc_tpu.metrics import Metrics
 from runlmc_tpu.models.multigp import MultiGP
@@ -59,6 +57,12 @@ class InterpolatedLLGP(MultiGP):
         DENSE_MAX_GRID points
     :param metrics: record per-step diagnostics incl. exact-gradient
         comparison (slow; parity interpolated_llgp.py:228-244)
+    :param mesh: optional ``jax.sharding.Mesh``; when given, the
+        (1 + trace_iterations)-RHS solve batch is sharded over the
+        mesh's first axis inside the jitted training step — the
+        TPU-native replacement for the reference's process pool
+        (stochastic_deriv.py:51-52). One device = same program,
+        no constraint.
     :param seed: seed for parameter init and probe RNG
     :param dtype: computation dtype (None = follow jax x64 setting)
     """
@@ -83,6 +87,7 @@ class InterpolatedLLGP(MultiGP):
         seed=0,
         dtype=None,
         grid_mode="auto",
+        mesh=None,
         max_procs=None,  # accepted for API compatibility; parallelism
         # is the device mesh, not processes
     ):
@@ -107,8 +112,19 @@ class InterpolatedLLGP(MultiGP):
         self.n_probes = int(trace_iterations)
         self.tolerance = float(tolerance)
         self.solver = solver
-        self.precond_refresh = 10  # optimizer steps between Woodbury
-        # preconditioner refreshes (dense mode)
+        self.chunk_len = 10  # optimizer steps fused per device chunk
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # shard the (1 + n_probes)-RHS solve batch over the mesh's
+            # first axis — the TPU replacement for the reference's
+            # pool.starmap over solves (stochastic_deriv.py:51-52)
+            self._rhs_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0], None)
+            )
+        else:
+            self._rhs_sharding = None
 
         self.data = lk.flatten_data(self.Xs, self.Ys)
         self.y = jnp.asarray(self.data.y, dtype=self.dtype)
@@ -117,12 +133,6 @@ class InterpolatedLLGP(MultiGP):
         grid_data, self.grid_axes = make_grids(
             self.spec, self.Xs, lo, hi, m, mode=grid_mode
         )
-        # host copies for preconditioner refreshes (no device pulls)
-        self._host_grids = [
-            (np.asarray(gd.dists), np.asarray(gd.idx_map)
-             if gd.idx_map is not None else None)
-            for gd in grid_data
-        ]
         self.grid_data = tuple(
             gd.replace(
                 dists=jnp.asarray(gd.dists, dtype=self.dtype),
@@ -144,9 +154,20 @@ class InterpolatedLLGP(MultiGP):
                         for b in gd.W_blocks
                     )
                 ),
+                WtW=(
+                    None
+                    if gd.WtW is None
+                    else jnp.asarray(gd.WtW, dtype=self.dtype)
+                ),
             )
             for gd in grid_data
         )
+        # float32 dense-grid artifacts: inputs to the per-step direct
+        # Woodbury factorization (converted from host numpy, one batch)
+        if all(gd.plan.mode == "dense" for gd in grid_data):
+            self.grid_data32 = to_dense_f32(tuple(grid_data))
+        else:
+            self.grid_data32 = None
         for gd in self.grid_data:
             _LOG.info(
                 "InterpolatedLLGP %s generated grid (n=%d, m=%d) for "
@@ -220,15 +241,17 @@ class InterpolatedLLGP(MultiGP):
         n_probes = self.n_probes
         unravel = self._unravel
         prior_specs = tuple(self._prior_specs)
+        rhs_sharding = self._rhs_sharding
 
-        def _grad(x_flat, key, grid_data, y, precond):
+        def _grad(x_flat, key, grid_data, grid_data32, y):
             params = unravel(x_flat)
             probes = lk.rademacher_probes(key, n_probes, n, y.dtype)
 
             def objective(p):
                 s, aux = lk.stochastic_mll_surrogate(
                     spec, p, grid_data, lens, y, probes,
-                    tol=tol, method=method, precond=precond,
+                    tol=tol, method=method, grid_data32=grid_data32,
+                    rhs_sharding=rhs_sharding,
                 )
                 if prior_specs:
                     s = s + lk.log_prior_term(prior_specs, p)
@@ -240,23 +263,19 @@ class InterpolatedLLGP(MultiGP):
             gflat, _ = ravel_pytree(g)
             return gflat, aux
 
-        @jax.jit
-        def grad_fn(x_flat, key, grid_data, y):
-            return _grad(x_flat, key, grid_data, y, None)
+        grad_fn = jax.jit(_grad)
+
+        chunk_len = self.chunk_len
 
         @jax.jit
-        def grad_pc_fn(x_flat, key, grid_data, y, precond):
-            return _grad(x_flat, key, grid_data, y, precond)
-
-        chunk_len = self.precond_refresh
-
-        def _chunk(x0, gms0, sms0, stp0, key, start, hp, grid_data, y,
-                   precond):
+        def chunk_fn(x0, gms0, sms0, stp0, key, start, hp, grid_data,
+                     grid_data32, y):
             """`chunk_len` full AdaDelta iterations fused into one XLA
-            program (lax.scan): the gradient, the climin-style update
-            rule and the per-step grad norms all stay on device; only
-            the tiny per-step stacked outputs cross the transport once
-            per chunk. The host replays the stopping rule retroactively
+            program (lax.scan): the gradient (incl. the per-step direct
+            factorization), the climin-style update rule and the
+            per-step grad norms all stay on device; only the tiny
+            per-step stacked outputs cross the transport once per chunk.
+            The host replays the stopping rule retroactively
             (AdaDelta.minimize_chunked).
 
             Probe keys are fold_in(run_key, GLOBAL iteration index), so
@@ -270,7 +289,7 @@ class InterpolatedLLGP(MultiGP):
                 sub = jax.random.fold_in(key, start + i)
                 step1 = stp * momentum
                 x1 = x - step1
-                g, aux = _grad(x1, sub, grid_data, y, precond)
+                g, aux = _grad(x1, sub, grid_data, grid_data32, y)
                 gms_n = decay * gms + (1.0 - decay) * g * g
                 step2 = (
                     jnp.sqrt(sms + offset)
@@ -293,20 +312,44 @@ class InterpolatedLLGP(MultiGP):
             return outs
 
         @jax.jit
-        def chunk_fn(x0, gms0, sms0, stp0, key, start, hp, grid_data, y):
-            return _chunk(x0, gms0, sms0, stp0, key, start, hp,
-                          grid_data, y, None)
-
-        @jax.jit
-        def chunk_pc_fn(x0, gms0, sms0, stp0, key, start, hp, grid_data,
-                        y, precond):
-            return _chunk(x0, gms0, sms0, stp0, key, start, hp,
-                          grid_data, y, precond)
+        def woodbury_fn(params, grid_data):
+            """Direct factorization of K_SKI at the model's full
+            precision (reporting/prediction; dense grid mode)."""
+            K = build_kski(spec, params, grid_data, lens)
+            tight = (
+                (1e-12, 1e-9, 1e-6)
+                if K.noise_n.dtype == jnp.float64
+                else (1e-6, 1e-4, 1e-2)
+            )
+            c_tight = (
+                (0.0, 1e-12, 1e-9)
+                if K.noise_n.dtype == jnp.float64
+                else (0.0, 1e-6, 1e-3)
+            )
+            return build_device_woodbury(
+                K.groups,
+                spec.noise(params),
+                K.noise_n,
+                tuple(gd.WtW for gd in grid_data),
+                jitter=tight,
+                c_jitter=c_tight,
+            )
 
         @jax.jit
         def alpha_fn(params, grid_data, y):
             K = build_kski(spec, params, grid_data, lens)
             res = self._solver_fn()(K.matvec, y[None], tol=tol, maxiter=n)
+            return res.x[0], res.iterations[0], res.error[0]
+
+        @jax.jit
+        def wb_solve_fn(wb, rhs):
+            return wb.solve(rhs)
+
+        @jax.jit
+        def alpha_wb_fn(params, grid_data, wb, y):
+            """Direct-solve alpha with a residual-certifying PCG wrap."""
+            K = build_kski(spec, params, grid_data, lens)
+            res = woodbury_pcg(K.matvec, wb, y[None], tol=tol, maxiter=n)
             return res.x[0], res.iterations[0], res.error[0]
 
         @jax.jit
@@ -392,10 +435,11 @@ class InterpolatedLLGP(MultiGP):
             return val, gflat
 
         self._jit_grad = grad_fn
-        self._jit_grad_pc = grad_pc_fn
         self._jit_chunk = chunk_fn
-        self._jit_chunk_pc = chunk_pc_fn
         self._jit_alpha = alpha_fn
+        self._jit_alpha_wb = alpha_wb_fn
+        self._jit_woodbury = woodbury_fn
+        self._jit_wb_solve = wb_solve_fn
         self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
         self._jit_native_variance = native_variance_fn
@@ -445,70 +489,12 @@ class InterpolatedLLGP(MultiGP):
         if self.metrics is not None:
             self.metrics = Metrics()
 
-        # Stale-Woodbury preconditioning (dense grid mode): factor K at
-        # the current params every `precond_refresh` steps on the host
-        # (eigh amortized across steps) and run each step's solves as a
-        # short preconditioned CG on the f64 dense operator. Replaces
-        # thousands of late-stage Krylov iterations with a handful.
-        use_pc = self._all_dense
-        pc_state = {"wb": None, "age": 0}
-
-        def _refresh_pc(x_flat):
-            # Cheap refresh: K_UU built + Cholesky-factored on the HOST
-            # from the (tiny) raw parameters; C inverted ON DEVICE by
-            # Newton-Schulz warm-started from the previous inverse.
-            # Only the F factors cross the transport. Fixed shapes
-            # everywhere -> the jitted step never retraces.
-            params = self._unravel(jnp.asarray(x_flat, dtype=self.dtype))
-            params_np = jax.tree.map(np.asarray, params)
-            Fs = []
-            for gd, (dists_np, idx_np) in zip(
-                self.grid_data, self._host_grids
-            ):
-                kuu = host_grid_kuu(
-                    self.spec, params_np, dists_np, idx_np,
-                    gd.plan.kidxs,
-                )
-                Fs.append(chol_factor_jittered(kuu))
-            noise = self.spec.noise(params)
-            noise_n = jnp.repeat(
-                noise,
-                jnp.asarray(np.asarray(self.data.lens)),
-                total_repeat_length=int(sum(self.data.lens)),
-            )
-            prev = (
-                pc_state["wb"].C_inv if pc_state["wb"] is not None
-                else None
-            )
-            pc_state["wb"] = build_precond(
-                tuple(gd.interp for gd in self.grid_data),
-                tuple(gd.W_blocks for gd in self.grid_data),
-                Fs,
-                noise_n,
-                prev_C_inv=prev,
-            )
-            pc_state["age"] = 0
-
         def fprime(x_flat):
             x = jnp.asarray(x_flat, dtype=self.dtype)
-            if use_pc:
-                if (
-                    pc_state["wb"] is None
-                    or pc_state["age"] >= self.precond_refresh
-                ):
-                    _refresh_pc(x_flat)
-                g, aux = self._jit_grad_pc(
-                    x, self._next_key(), self.grid_data, self.y,
-                    pc_state["wb"],
-                )
-                pc_state["age"] += 1
-                # stale factor losing bite -> refresh early next step
-                if float(aux.solve_iters) > 60:
-                    pc_state["age"] = self.precond_refresh
-            else:
-                g, aux = self._jit_grad(
-                    x, self._next_key(), self.grid_data, self.y
-                )
+            g, aux = self._jit_grad(
+                x, self._next_key(), self.grid_data, self.grid_data32,
+                self.y,
+            )
             if self.metrics is not None:
                 self._record_metrics(x_flat, g, aux)
             return np.asarray(g, dtype=float)
@@ -522,9 +508,7 @@ class InterpolatedLLGP(MultiGP):
             run_key = self._next_key()
 
         def run_chunk(x, gms, sms, step, start_iter):
-            """One device-side chunk of AdaDelta steps (preconditioner
-            refreshed at the chunk boundary — same cadence as the
-            per-step path's `precond_refresh`)."""
+            """One device-side chunk of AdaDelta steps."""
             hp = jnp.asarray(
                 [
                     optimizer.step_rate,
@@ -534,7 +518,7 @@ class InterpolatedLLGP(MultiGP):
                 ],
                 dtype=self.dtype,
             )
-            args = (
+            outs = self._jit_chunk(
                 jnp.asarray(x, dtype=self.dtype),
                 jnp.asarray(gms, dtype=self.dtype),
                 jnp.asarray(sms, dtype=self.dtype),
@@ -543,14 +527,19 @@ class InterpolatedLLGP(MultiGP):
                 jnp.asarray(start_iter, dtype=jnp.int32),
                 hp,
                 self.grid_data,
+                self.grid_data32,
                 self.y,
             )
-            if use_pc:
-                _refresh_pc(x)
-                outs = self._jit_chunk_pc(*args, pc_state["wb"])
-            else:
-                outs = self._jit_chunk(*args)
-            xs, gmss, smss, steps, gns, _, _ = jax.device_get(outs)
+            xs, gmss, smss, steps, gns, iters, errs = jax.device_get(outs)
+            bad = np.asarray(errs, dtype=float) > self.tolerance
+            if bad.any():
+                _LOG.warning(
+                    "%d/%d chunk steps did not certify the %g solve "
+                    "tolerance (worst residual %e) — gradients for "
+                    "those steps are inexact",
+                    int(bad.sum()), len(bad), self.tolerance,
+                    float(np.max(errs)),
+                )
             return xs, gmss, smss, steps, gns
 
         x0 = self.param_array
@@ -560,7 +549,7 @@ class InterpolatedLLGP(MultiGP):
         try:
             if use_chunked:
                 x_opt, info = optimizer.minimize_chunked(
-                    x0, run_chunk, self.precond_refresh, state=state
+                    x0, run_chunk, state=state
                 )
                 info["state"]["rng_key"] = np.asarray(run_key)
             else:
@@ -599,28 +588,32 @@ class InterpolatedLLGP(MultiGP):
         return all(gd.plan.mode == "dense" for gd in self.grid_data)
 
     def _woodbury(self):
-        """Direct Woodbury factorization of K_SKI (dense grid mode);
-        cached per parameter setting."""
+        """Direct Woodbury factorization of K_SKI (dense grid mode) at
+        the model's full precision, built entirely on device; cached per
+        parameter setting."""
         if "woodbury" not in self._cache:
-            K = self._jit_kski(self.params, self.grid_data)
-            self._cache["woodbury"] = build_woodbury(K.groups, K.noise_n)
+            self._cache["woodbury"] = self._jit_woodbury(
+                self.params, self.grid_data
+            )
         return self._cache["woodbury"]
 
     def _alpha(self):
         if "alpha" not in self._cache:
             if self._all_dense:
-                alpha = self._woodbury().solve(self.y)
+                alpha, iters, err = self._jit_alpha_wb(
+                    self.params, self.grid_data, self._woodbury(), self.y
+                )
             else:
                 alpha, iters, err = self._jit_alpha(
                     self.params, self.grid_data, self.y
                 )
-                if float(err) > self.tolerance:
-                    _LOG.critical(
-                        "solve (n = %d) did not converge: reconstruction "
-                        "error %e",
-                        self.y.shape[0],
-                        float(err),
-                    )
+            if float(err) > self.tolerance:
+                _LOG.critical(
+                    "solve (n = %d) did not converge: reconstruction "
+                    "error %e",
+                    self.y.shape[0],
+                    float(err),
+                )
             self._cache["alpha"] = alpha
         return self._cache["alpha"]
 
@@ -652,26 +645,47 @@ class InterpolatedLLGP(MultiGP):
         return float(self.y @ self._alpha())
 
     def ski_log_det(self):
-        """EXACT log det of the SKI covariance via the matrix
-        determinant lemma on the Woodbury factorization, O(n k^2)
-        (dense grid mode only). The reference has no fast-logdet path
-        (its roadmap lists Lanczos logdet, reference README.md:86); it
-        reports the O(n^3) dense-kernel logdet instead."""
-        return self._woodbury().logdet
+        """Log det of the SKI covariance via the matrix determinant
+        lemma on the on-device Woodbury factorization — exact up to the
+        factorization's relative-1e-12 Cholesky jitter, never
+        materializing an (n, n) matrix (dense grid mode only). The
+        reference has no fast-logdet path (its roadmap lists Lanczos
+        logdet, reference README.md:86); it reports the O(n^3)
+        dense-kernel logdet instead."""
+        return float(self._woodbury().logdet)
 
     def ski_log_likelihood(self):
         """Marginal log-likelihood of the SKI model itself:
         -1/2 (ski_log_det + y^T K_SKI^-1 y + n log 2 pi). Fully
         matrix-free-exact and cheap at any n (dense grid mode)."""
-        nll = self.ski_log_det() + self.normal_quadratic()
+        nll = float(self.ski_log_det()) + self.normal_quadratic()
         nll += len(self.data.y) * np.log(2 * np.pi)
         return -0.5 * nll
 
+    # Above this n, log_likelihood() switches from the exact O(n^3)
+    # logdet to the SKI Woodbury logdet (dense grid mode): at e.g.
+    # weather scale (n=15,789) the exact path is a 2 GB Cholesky per
+    # parameter setting, for a reporting-only quantity.
+    LARGE_N_EXACT_REPORT = 5000
+
     def log_likelihood(self):
         """-1/2 (log det K + y^T K^-1 y + n log 2pi): exact logdet +
-        matrix-free quadratic (parity: interpolated_llgp.py:287-290)."""
-        nll = self.log_det_K() + self.normal_quadratic()
-        nll += len(self.data.y) * np.log(2 * np.pi)
+        matrix-free quadratic (parity: interpolated_llgp.py:287-290).
+        Beyond ``LARGE_N_EXACT_REPORT`` data points in dense grid mode,
+        the logdet comes from the O(n k^2) Woodbury factorization
+        (:meth:`ski_log_det`) instead of the O(n^3) dense Cholesky the
+        reference uses — reporting stays scale-safe."""
+        n = len(self.data.y)
+        if self._all_dense and n > self.LARGE_N_EXACT_REPORT:
+            _LOG.info(
+                "log_likelihood: n=%d > %d, reporting the SKI Woodbury "
+                "logdet instead of the O(n^3) exact logdet",
+                n, self.LARGE_N_EXACT_REPORT,
+            )
+            nll = float(self.ski_log_det()) + self.normal_quadratic()
+        else:
+            nll = self.log_det_K() + self.normal_quadratic()
+        nll += n * np.log(2 * np.pi)
         return -0.5 * nll
 
     def exact_log_likelihood_and_grad(self):
@@ -690,6 +704,7 @@ class InterpolatedLLGP(MultiGP):
             jnp.asarray(self.param_array, dtype=self.dtype),
             self._next_key(),
             self.grid_data,
+            self.grid_data32,
             self.y,
         )
         return np.asarray(g)
@@ -731,7 +746,7 @@ class InterpolatedLLGP(MultiGP):
             if self.prediction == "on-the-fly":
                 K_test_X = self._cross_kernel(Xs)
                 if K_test_X.shape[0]:
-                    E = wb.solve(K_test_X)
+                    E = self._jit_wb_solve(wb, K_test_X)
                     explained = np.asarray(
                         jnp.sum(K_test_X * E, axis=1)
                     )
@@ -834,7 +849,7 @@ class InterpolatedLLGP(MultiGP):
             KUU = g.grid_matvec(eye)  # dense (Dm, Dm), symmetric
             rhs = g.interp.matvec(KUU)  # rows: K_XU columns, (Dm, n)
             if self._all_dense:
-                sols = self._woodbury().solve(rhs)
+                sols = self._jit_wb_solve(self._woodbury(), rhs)
             else:
                 res = self._solver_fn()(
                     K.matvec, rhs, tol=self.tolerance,

@@ -141,20 +141,25 @@ class AdaDelta:
             },
         }
 
-    def minimize_chunked(self, x0, run_chunk, chunk_size, state=None):
+    def minimize_chunked(self, x0, run_chunk, state=None):
         """Minimize with a DEVICE-side chunked gradient/update loop.
 
-        ``run_chunk(x, gms, sms, step, start_iter)`` performs
-        ``chunk_size`` full AdaDelta iterations on device (one jit call;
-        the update rule itself lives in the compiled program) and
-        returns per-step numpy arrays
-        ``(xs, gmss, smss, steps, grad_norms)`` each stacked over the
-        chunk. The host replays the reference's exact stopping rule
-        (rolling-max infinity-norm + permitted drops,
+        ``run_chunk(x, gms, sms, step, start_iter)`` performs a fixed
+        number of full AdaDelta iterations on device (one jit call; the
+        update rule itself lives in the compiled program — the chunk
+        length is whatever the oracle returns) and returns per-step
+        numpy arrays ``(xs, gmss, smss, steps, grad_norms)`` each
+        stacked over the chunk. The host replays the reference's exact
+        stopping rule (rolling-max infinity-norm + permitted drops,
         runlmc/models/optimization.py:59-83) over the per-step gradient
         norms and, when the stop lands mid-chunk, rewinds to that
-        step's parameters/state — identical iterate sequence to
-        :meth:`minimize`, ~chunk_size x fewer host round-trips.
+        step's parameters/state — given the same gradient-oracle
+        stream, the iterate sequence is identical to :meth:`minimize`
+        at ~chunk-length fewer host round-trips. (The *stochastic
+        gradients themselves* may differ between the two entry points:
+        the model's chunked oracle derives probe keys by
+        global-iteration ``fold_in`` while its per-step ``fprime``
+        consumes a sequential key stream.)
         """
         x = np.array(x0, dtype=float, copy=True)
         if state is not None:
@@ -172,6 +177,8 @@ class AdaDelta:
             drops = self.permitted_drops
             n_iter = 0
         grad_norms = []
+        if self.verbosity:
+            print("starting adadelta", vars(self))
         printing_delta = (
             max(self.max_it // self.verbosity, 1) if self.verbosity else 0
         )

@@ -9,8 +9,11 @@ required upgrade): one ``.npz`` file captures everything needed to
 resume training bit-exactly —
 
 - the flat raw-parameter vector (the analog of paramz ``param_array``),
-- the model's RNG key (so resumed Hutchinson probes match the
-  uninterrupted run),
+- the model's RNG key (resumes the per-step ``fprime`` key stream; the
+  chunked AdaDelta path instead derives probe keys from
+  ``opt_state['rng_key']`` by global-iteration ``fold_in``, so
+  bit-exact chunked resume requires passing the checkpointed
+  ``opt_state`` back to ``optimize``),
 - per-output normalizer statistics,
 - the optimizer state (AdaDelta running moments + stopping-rule
   state), when supplied,

@@ -1,12 +1,15 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh: the
-jitted train step with a sharded probe batch, and the driver entry
-points."""
+PRODUCT training path (InterpolatedLLGP.optimize with a mesh — probes /
+solve batch sharded over the 'probe' axis) and the driver entry points.
+The mesh replaces the reference's multiprocessing pool over independent
+scipy solves (runlmc/lmc/stochastic_deriv.py:51-52)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+
+from runlmc_tpu import AdaDelta, InterpolatedLLGP, LMCKernelSpec, RBF
+from runlmc_tpu.parallel.mesh import default_mesh
 
 
 def test_mesh_has_8_devices():
@@ -24,89 +27,102 @@ def test_entry_compiles():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    g, alpha = jax.tree.leaves(out)[0], jax.tree.leaves(out)[1]
+    g = jax.tree.leaves(out)[0]
     assert np.all(np.isfinite(np.asarray(g)))
 
 
-def test_train_step_matches_host_adadelta(rng):
-    """The fully-jitted AdaDelta step must reproduce the host-side
-    optimizer's update given the same gradient sequence."""
-    from runlmc_tpu.models.optimization import AdaDelta
-    from runlmc_tpu.parallel.training import AdaDeltaState
+def _sincos_model(rng, mesh=None, n=40):
+    Xs = [np.sort(rng.uniform(0, 2 * np.pi, (n, 1)), axis=0)
+          for _ in range(2)]
+    Ys = [np.sin(X[:, 0]) + 0.05 * rng.standard_normal(n) for X in Xs]
+    spec = LMCKernelSpec.create(
+        D=2, lmc_kernels=[RBF(name="k")], lmc_ranks=[1]
+    )
+    return InterpolatedLLGP(
+        Xs, Ys, functional_kernel=spec, m=[16], seed=1, mesh=mesh,
+        trace_iterations=16,
+    )
 
-    # emulate the jitted update rule on a fixed gradient function
-    dim = 4
-    grads = [rng.standard_normal(dim) for _ in range(5)]
 
-    # host optimizer records the x it was queried at
-    queried = []
+def test_mesh_training_matches_single_device(rng):
+    """Sharding the solve batch over 8 devices is a layout change, not
+    a numerical one: the trained parameters must match the meshless
+    run to float64 reduction-order noise."""
+    seed_state = rng.bit_generator.state
+
+    rng.bit_generator.state = seed_state
+    m1 = _sincos_model(rng, mesh=None)
+    info1 = m1.optimize(optimizer=AdaDelta(max_it=12))
+
+    rng.bit_generator.state = seed_state
+    mesh = default_mesh(8, axis_name="probe")
+    m8 = _sincos_model(rng, mesh=mesh)
+    info8 = m8.optimize(optimizer=AdaDelta(max_it=12))
+
+    assert info1["n_iter"] == info8["n_iter"]
+    np.testing.assert_allclose(
+        m1.param_array, m8.param_array, rtol=1e-8, atol=1e-10
+    )
+
+
+def test_mesh_prediction_runs(rng):
+    mesh = default_mesh(8, axis_name="probe")
+    m8 = _sincos_model(rng, mesh=mesh)
+    m8.optimize(optimizer=AdaDelta(max_it=5))
+    Xt = [np.linspace(0.5, 5.5, 9)[:, None]] * 2
+    mus, vars_ = m8.predict(Xt)
+    assert all(np.all(np.isfinite(mu)) for mu in mus)
+    assert all(np.all(v >= 0) for v in vars_)
+
+
+def test_chunked_adadelta_matches_per_step(rng):
+    """minimize_chunked must replay the per-step optimizer exactly when
+    fed the same gradient stream."""
+    from runlmc_tpu.models.optimization import AdaDelta as AD
+
+    dim = 5
+    grads = [rng.standard_normal(dim) for _ in range(30)]
+
+    calls = []
 
     def fprime(x):
-        queried.append(np.array(x))
-        return grads[len(queried) - 1]
+        calls.append(np.array(x))
+        return grads[len(calls) - 1]
 
-    opt = AdaDelta(max_it=5, permitted_drops=10**9)
-    x_opt, _ = opt.minimize(np.zeros(dim), fprime)
+    opt = AD(max_it=17)
+    x_ref, info_ref = opt.minimize(np.zeros(dim), fprime)
 
-    # manual jnp replication of the update rule
-    x = jnp.zeros(dim)
-    st = AdaDeltaState(*(jnp.zeros(dim),) * 3)
-    momentum, decay, offset, rate = 0.5, 0.9, 1e-4, 1.0
-    for g in grads:
-        step1 = momentum * st.step
-        x1 = x - step1
-        g = jnp.asarray(g)
-        gms = decay * st.gms + 0.1 * g**2
-        step2 = jnp.sqrt(st.sms + offset) / jnp.sqrt(gms + offset) * g * rate
-        x2 = x1 - step2
-        step = step1 + step2
-        sms = decay * st.sms + 0.1 * step**2
-        st = AdaDeltaState(gms=gms, sms=sms, step=step)
-        x = x2
-    np.testing.assert_allclose(np.asarray(x), x_opt, rtol=1e-10)
+    # chunked oracle: replay the same update rule on device in chunks
+    def run_chunk(x, gms, sms, step, start_iter):
+        xs, gmss, smss, steps, gns = [], [], [], [], []
+        x, gms, sms, step = map(np.array, (x, gms, sms, step))
+        for j in range(4):  # chunk length 4
+            i = start_iter + j
+            g = grads[i] if i < len(grads) else np.zeros(dim)
+            step1 = opt.momentum * step
+            x1 = x - step1
+            gms = opt.decay * gms + (1 - opt.decay) * g**2
+            step2 = (
+                np.sqrt(sms + opt.offset)
+                / np.sqrt(gms + opt.offset) * g * opt.step_rate
+            )
+            x = x1 - step2
+            step = step1 + step2
+            sms = opt.decay * sms + (1 - opt.decay) * step**2
+            xs.append(x.copy()); gmss.append(gms.copy())
+            smss.append(sms.copy()); steps.append(step.copy())
+            gns.append(np.max(np.abs(g)))
+        return (np.stack(xs), np.stack(gmss), np.stack(smss),
+                np.stack(steps), np.asarray(gns))
 
-
-def test_sharded_training_step_runs(rng):
-    """Full training step over a 2-axis usage: probes sharded over the
-    mesh, everything else replicated; executes and stays finite."""
-    from runlmc_tpu import LMCKernelSpec, RBF
-    from runlmc_tpu.lmc import likelihood as lk
-    from runlmc_tpu.lmc.grid import make_grids
-    from runlmc_tpu.parallel.mesh import default_mesh
-    from runlmc_tpu.parallel.training import make_train_step
-
-    D, n_per = 2, 20
-    Xs = [np.sort(rng.uniform(0, 1, (n_per, 1)), axis=0) for _ in range(D)]
-    Ys = [np.sin(5 * X[:, 0]) for X in Xs]
-    spec = LMCKernelSpec.create(
-        D=D, lmc_kernels=[RBF()], lmc_ranks=[1]
-    ).with_input_dim(1)
-    params = jax.tree.map(jnp.asarray, spec.init_raw_params())
-    grids, _ = make_grids(spec, Xs, m=[8])
-    grids = tuple(grids)
-    data = lk.flatten_data(Xs, Ys)
-    y = jnp.asarray(data.y)
-
-    mesh = default_mesh(8, axis_name="probe")
-    step, (x0, opt0, _) = make_train_step(
-        spec, data.lens, params, n_probes=8
-    )
-    probe_shard = NamedSharding(mesh, P("probe", None))
-    probes = jax.device_put(
-        lk.rademacher_probes(jax.random.PRNGKey(0), 8, y.shape[0], y.dtype),
-        probe_shard,
-    )
-    x1, opt1, aux = jax.jit(step)(x0, opt0, probes, grids, y)
-    assert np.all(np.isfinite(np.asarray(x1)))
-    assert float(aux["grad_norm"]) > 0
-
-    # a second step continues from the new state
-    x2, opt2, _ = jax.jit(step)(x1, opt1, probes, grids, y)
-    assert not np.allclose(np.asarray(x1), np.asarray(x2))
+    opt2 = AD(max_it=17)
+    x_chunk, info_chunk = opt2.minimize_chunked(np.zeros(dim), run_chunk)
+    assert info_ref["n_iter"] == info_chunk["n_iter"]
+    np.testing.assert_allclose(x_chunk, x_ref, rtol=1e-12)
 
 
 def test_pad_and_shard_batch(rng):
-    from runlmc_tpu.parallel.mesh import default_mesh, pad_batch, shard_batch
+    from runlmc_tpu.parallel.mesh import pad_batch, shard_batch
 
     b = rng.standard_normal((5, 7))
     padded, orig = pad_batch(b, 8)
