@@ -117,7 +117,18 @@ BUILDERS = {
 }
 
 
-def run_once(name, seed, m=None):
+# --validate subsampling factors / grid sizes / iteration caps: tiny
+# configs that exercise the full pipeline (dataset load -> model ->
+# optimize -> predict -> SMSE/NLPD) in seconds, mirroring the
+# reference's CI smoke runs (.travis.yml:16-17 `run.sh --validate`).
+VALIDATE = {
+    "fx2007": dict(subsample=4, m=64, max_it=10, smse_max=1.2),
+    "weather": dict(subsample=20, m=64, max_it=10, smse_max=1.2),
+    "synth": dict(subsample=30, m=8, max_it=10, smse_max=1.2),
+}
+
+
+def run_once(name, seed, m=None, subsample=None, max_it=100):
     import jax
 
     from runlmc_tpu import AdaDelta, InterpolatedLLGP
@@ -125,6 +136,9 @@ def run_once(name, seed, m=None):
 
     (xss, yss, test_xss, test_yss, spec, mlist, opt_opts,
      model_opts) = BUILDERS[name](m)
+    if subsample:
+        xss = [x[::subsample] for x in xss]
+        yss = [y[::subsample] for y in yss]
     t0 = time.time()
     lmc = InterpolatedLLGP(
         xss, yss, functional_kernel=spec, normalize=True, m=mlist,
@@ -146,7 +160,7 @@ def run_once(name, seed, m=None):
     lmc._key = key_before
     _log("jit warmup %.1fs" % (time.time() - t0))
 
-    opt = AdaDelta(max_it=100, **opt_opts)
+    opt = AdaDelta(max_it=max_it, **opt_opts)
     t0 = time.time()
     info = lmc.optimize(optimizer=opt)
     t_train = time.time() - t0
@@ -177,12 +191,44 @@ def run_once(name, seed, m=None):
     }
 
 
+def run_validate(name):
+    """Tiny smoke run asserting quality sanity (wired into the test
+    suite via tests/test_bench_validate.py so the benchmark pipeline
+    cannot silently rot)."""
+    cfg = VALIDATE[name]
+    r = run_once(
+        name, seed=0, m=cfg["m"], subsample=cfg["subsample"],
+        max_it=cfg["max_it"],
+    )
+    assert np.isfinite(r["smse"]) and np.isfinite(r["nlpd"]), r
+    assert r["smse"] < cfg["smse_max"], r
+    out = {
+        "metric": "%s_validate_smse" % name,
+        "value": round(float(r["smse"]), 4),
+        "unit": "smse",
+        "validate": True,
+        "train_s": round(r["train_s"], 2),
+        "nlpd": round(float(r["nlpd"]), 4),
+    }
+    print(json.dumps(out))
+    return r
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--benchmark", default="fx2007", choices=BUILDERS)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--m", type=int, default=None)
+    ap.add_argument(
+        "--validate", action="store_true",
+        help="tiny smoke config: subsampled data, few iterations, "
+        "quality sanity asserts",
+    )
     args = ap.parse_args()
+
+    if args.validate:
+        run_validate(args.benchmark)
+        return
 
     results = [
         run_once(args.benchmark, seed=1234 + i, m=args.m)

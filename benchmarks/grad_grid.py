@@ -25,7 +25,7 @@ def run_kernel(kern_name, n, D, r, seed=0):
 
     from runlmc_tpu import LMCKernelSpec, Matern32, RBF, StdPeriodic
     from runlmc_tpu.lmc import likelihood as lk
-    from runlmc_tpu.lmc.grid import build_kski, make_grids
+    from runlmc_tpu.lmc.grid import make_grids, to_dense_f32
 
     kmap = {
         "rbf": [RBF(name="k0")],
@@ -46,6 +46,12 @@ def run_kernel(kern_name, n, D, r, seed=0):
     params = jax.tree.map(jnp.asarray, spec.init_raw_params(seed=seed))
     grids, _ = make_grids(spec, Xs, m=[n_per])
     grids = tuple(grids)
+    # the product training path: direct f32 Woodbury when grids are dense
+    grids32 = (
+        to_dense_f32(grids)
+        if all(g.plan.mode == "dense" for g in grids)
+        else None
+    )
     data = lk.flatten_data(Xs, Ys)
     y = jnp.asarray(data.y)
     X = jnp.asarray(data.X)
@@ -62,7 +68,8 @@ def run_kernel(kern_name, n, D, r, seed=0):
 
         def s(pp):
             v, aux = lk.stochastic_mll_surrogate(
-                spec, pp, grids, data.lens, y, probes, tol=1e-4
+                spec, pp, grids, data.lens, y, probes, tol=1e-4,
+                grid_data32=grids32,
             )
             return v, aux
 

@@ -297,28 +297,6 @@ class GroupState:
         return jnp.concatenate(outs, axis=-1)
 
 
-def to_inner_f32(grid_data):
-    """Cast a grid-data tuple to a float32 FFT-mode variant: the inner
-    operator for mixed-precision refinement solves (cheap f32 FFT
-    Krylov cycles inside an f64 outer loop — see ops/solvers.py)."""
-    out = []
-    for gd in grid_data:
-        plan32 = dataclasses.replace(gd.plan, mode="fft")
-        out.append(
-            gd.replace(
-                plan=plan32,
-                dists=gd.dists.astype(jnp.float32),
-                interp=gd.interp.replace(
-                    weights=gd.interp.weights.astype(jnp.float32)
-                ),
-                idx_map=None,
-                W_blocks=None,
-                WtW=None,
-            )
-        )
-    return tuple(out)
-
-
 def to_dense_f32(grid_data):
     """Float32 copies of the dense-mode grid artifacts — the inputs to
     the per-step float32 direct Woodbury factorization (woodbury.py).

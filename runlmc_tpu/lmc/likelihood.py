@@ -134,6 +134,58 @@ def rademacher_probes(key, n_probes, n, dtype):
     )
 
 
+def sharded_solve(solver_call, rhs, rhs_sharding):
+    """Run a batched solver with the RHS batch sharded over a mesh axis.
+
+    Each device runs its own COMPLETE solver loop (Krylov or
+    Woodbury-PCG) on its local RHS rows via ``shard_map`` — the rows
+    are independent systems of the same operator, so there are no
+    collectives inside the loop and per-shard iteration counts diverge
+    freely. The operator state (grid symbols / Woodbury factor) is
+    closed over and replicated. This is the mesh replacement for the
+    reference's ``pool.starmap`` over per-RHS scipy solves
+    (runlmc/lmc/stochastic_deriv.py:51-52). The batch is zero-padded up
+    to the shard count (a zero row converges instantly) and sliced
+    back.
+
+    ``rhs_sharding=None`` runs the solver unsharded (single device).
+    """
+    if rhs_sharding is None:
+        return solver_call(rhs)
+
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    mesh = rhs_sharding.mesh
+    axis = rhs_sharding.spec[0]
+    n_shards = mesh.shape[axis]
+    B = rhs.shape[0]
+    pad = (-B) % n_shards
+    if pad:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((pad, rhs.shape[1]), rhs.dtype)], axis=0
+        )
+
+    def local(b):
+        res = solver_call(b)
+        return res.x, res.iterations, res.error, res.converged
+
+    x, iters, err, conv = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(rhs)
+    from runlmc_tpu.ops.solvers import SolveResult
+
+    return SolveResult(
+        x=x[:B], iterations=iters[:B], error=err[:B],
+        converged=conv[:B],
+    )
+
+
 class StochasticAux(NamedTuple):
     alpha: jax.Array  # (n,) K^-1 y
     solve_iters: jax.Array  # mean solver iterations (scalar)
@@ -180,8 +232,6 @@ def stochastic_mll_surrogate(
     solve_params = jax.lax.stop_gradient(raw_params)
     K_ng = build_kski(spec, solve_params, grid_data, lens)
     rhs = jnp.concatenate([y[None], probes], axis=0)
-    if rhs_sharding is not None:
-        rhs = jax.lax.with_sharding_constraint(rhs, rhs_sharding)
 
     if grid_data32 is not None:
         # Direct path: per-step f32 factorization + PCG certification.
@@ -195,10 +245,18 @@ def stochastic_mll_surrogate(
             K32.noise_n,
             tuple(gd.WtW for gd in grid_data32),
         )
-        res = woodbury_pcg(K_ng.matvec, wb, rhs, tol=tol, maxiter=maxiter)
+
+        def solver_call(b):
+            return woodbury_pcg(K_ng.matvec, wb, b, tol=tol,
+                                maxiter=maxiter)
+
     else:
         solver = batched_minres if method == "minres" else batched_cg
-        res = solver(K_ng.matvec, rhs, tol=tol, maxiter=maxiter)
+
+        def solver_call(b):
+            return solver(K_ng.matvec, b, tol=tol, maxiter=maxiter)
+
+    res = sharded_solve(solver_call, rhs, rhs_sharding)
     sols = jax.lax.stop_gradient(res.x)
     alpha = sols[0]
     zs = sols[1:]

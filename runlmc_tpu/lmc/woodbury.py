@@ -221,11 +221,13 @@ def build_device_woodbury(
 
 def woodbury_precond(wb: DeviceWoodbury):
     """An ``M^-1``-apply for :func:`runlmc_tpu.ops.solvers.batched_cg`:
-    scales the (possibly tiny late-stage) residual to O(1), applies the
-    factor in its own (low) precision, and casts back."""
+    scales each residual ROW to O(1) (rows converge at different rates;
+    a global scale would crush nearly-converged rows into float32
+    denormals), applies the factor in its own (low) precision, and
+    casts back."""
 
     def apply(r):
-        scale = jnp.max(jnp.abs(r))
+        scale = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
         safe = jnp.where(scale > 0, scale, 1.0)
         out = wb.solve((r / safe).astype(wb.dtype))
         return out.astype(r.dtype) * safe

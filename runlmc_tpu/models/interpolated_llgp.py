@@ -491,6 +491,7 @@ class InterpolatedLLGP(MultiGP):
 
         def fprime(x_flat):
             x = jnp.asarray(x_flat, dtype=self.dtype)
+            self._debug_dump_params(x_flat)
             g, aux = self._jit_grad(
                 x, self._next_key(), self.grid_data, self.grid_data32,
                 self.y,
@@ -509,6 +510,7 @@ class InterpolatedLLGP(MultiGP):
 
         def run_chunk(x, gms, sms, step, start_iter):
             """One device-side chunk of AdaDelta steps."""
+            self._debug_dump_params(x)
             hp = jnp.asarray(
                 [
                     optimizer.step_rate,
@@ -564,6 +566,23 @@ class InterpolatedLLGP(MultiGP):
             raise
         self.param_array = x_opt
         return info
+
+    def _debug_dump_params(self, x_flat):
+        """DEBUG-level dump of every (constrained-space-relevant raw)
+        hyperparameter at the current optimizer point (observability
+        parity: reference interpolated_llgp.py:209-224 logs all
+        hyperparameters per step)."""
+        if not _LOG.isEnabledFor(logging.DEBUG):
+            return
+        params = self._unravel(jnp.asarray(x_flat, dtype=self.dtype))
+        leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+        _LOG.debug("%s hyperparameters:", self.name)
+        for path, leaf in leaves:
+            _LOG.debug(
+                "    %s %s",
+                jax.tree_util.keystr(path),
+                np.array2string(np.asarray(leaf), precision=4),
+            )
 
     def _record_metrics(self, x_flat, g, aux):
         self.metrics.iterations.append(float(aux.solve_iters))
