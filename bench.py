@@ -168,6 +168,18 @@ def run_once(name, seed, m=None, subsample=None, max_it=100):
         "train %.2fs (%d iterations, %.3fs/iter)"
         % (t_train, info["n_iter"], t_train / info["n_iter"])
     )
+    if "device_seconds" in info:
+        _log(
+            "  breakdown: %d device steps %.2fs (%.0f ms/step), host+"
+            "transport %.2fs, mean solve iters %.1f, worst residual "
+            "%.1e"
+            % (
+                info["device_steps"], info["device_seconds"],
+                1e3 * info["device_seconds"] / max(info["device_steps"], 1),
+                t_train - info["device_seconds"],
+                info["mean_solve_iters"], info["max_solve_error"],
+            )
+        )
 
     t0 = time.time()
     pred_yss, pred_vss = lmc.predict(test_xss)

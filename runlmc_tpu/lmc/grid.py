@@ -78,6 +78,15 @@ class GridPlan:
     at benchmark grid sizes this is both faster per matvec and the only
     float64-capable path on TPU, which Krylov convergence on
     ill-conditioned (small-noise) systems requires.
+
+    ``grid_shard``: optional ``(Mesh, axis_name)`` — shards the
+    grid-sized axis of this group's matvecs over the named mesh axis
+    via GSPMD constraints: the Fourier-frequency axis of the symbol and
+    operand in 'fft' mode (the pointwise contraction shards with zero
+    collectives; XLA inserts the FFT transposes), the K_UU row axis in
+    'dense' mode. This is the pod-scale axis for grids too large for
+    one chip's HBM (SURVEY.md section 7 stage 8); set by passing the
+    model a mesh with a 'grid' axis.
     """
 
     active_dim: Tuple[int, ...]
@@ -85,6 +94,31 @@ class GridPlan:
     rep: str
     sizes: Tuple[int, ...]
     mode: str = "fft"
+    grid_shard: Any = None
+
+
+def _shard_last(x, grid_shard):
+    """Constrain the LAST axis of ``x`` over the grid mesh axis."""
+    if grid_shard is None or x is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, axis = grid_shard
+    spec = PartitionSpec(*([None] * (x.ndim - 1)), axis)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _shard_rows(x, grid_shard):
+    """Constrain the FIRST axis of ``x`` over the grid mesh axis."""
+    if grid_shard is None or x is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, axis = grid_shard
+    spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def choose_rep(spec: LMCKernelSpec, active_dim) -> str:
@@ -201,6 +235,7 @@ class GroupState:
     sizes: Tuple[int, ...] = flax.struct.field(pytree_node=False)
     rep: str = flax.struct.field(pytree_node=False)
     mode: str = flax.struct.field(pytree_node=False, default="fft")
+    grid_shard: Any = flax.struct.field(pytree_node=False, default=None)
     interp: Interp = None
     W_blocks: Any = None  # per-output dense (n_d, m) interp blocks
     grid_tops: Any = None  # (Qg, m) kernels on grid (kept for prediction)
@@ -240,6 +275,7 @@ class GroupState:
         x = u.reshape(batch + (d, m))
         vhat = bttb_ops.operand_fft(x, sizes)  # (..., d, *fsh)
         vf = vhat.reshape(batch + (d, F))
+        vf = _shard_last(vf, self.grid_shard)
 
         if self.rep == "sum":
             g = jnp.einsum(
@@ -259,6 +295,7 @@ class GroupState:
         else:  # pragma: no cover
             raise AssertionError(self.rep)
 
+        g = _shard_last(g, self.grid_shard)
         ghat = g.reshape(batch + (d,) + fsh)
         out = bttb_ops.operand_ifft(ghat, sizes)  # (..., d, m)
         return out.reshape(batch + (d * m,))
@@ -342,14 +379,17 @@ def build_group_state(
         dm = B.shape[1] * T.shape[1]
         return GroupState(
             sizes=sizes, rep=plan.rep, mode="dense", interp=interp,
+            grid_shard=plan.grid_shard,
             W_blocks=w_blocks, grid_tops=tops,
-            KUU_dense=KUU.reshape(dm, dm),
+            KUU_dense=_shard_rows(KUU.reshape(dm, dm), plan.grid_shard),
         )
 
     that = bttb_ops.bttb_fft(tops, sizes).reshape(len(kidxs), -1)  # (Qg, F)
+    that = _shard_last(that, plan.grid_shard)
 
     kwargs = dict(
         sizes=sizes, rep=plan.rep, mode="fft", interp=interp,
+        grid_shard=plan.grid_shard,
         grid_tops=tops,
     )
     if plan.rep == "sum":

@@ -149,8 +149,17 @@ def sharded_solve(solver_call, rhs, rhs_sharding):
     back.
 
     ``rhs_sharding=None`` runs the solver unsharded (single device).
+    On a multi-axis mesh (e.g. ('probe', 'grid')), the grid-sized axes
+    inside the operator carry their own GSPMD constraints
+    (grid.GridPlan.grid_shard), which cannot appear inside a shard_map
+    body — there the whole solve runs under GSPMD with the RHS batch
+    constrained over 'probe' and XLA partitioning the loop.
     """
     if rhs_sharding is None:
+        return solver_call(rhs)
+
+    if len(rhs_sharding.mesh.axis_names) > 1:
+        rhs = jax.lax.with_sharding_constraint(rhs, rhs_sharding)
         return solver_call(rhs)
 
     from jax.sharding import PartitionSpec as P

@@ -32,6 +32,7 @@ from runlmc_tpu.metrics import Metrics
 from runlmc_tpu.models.multigp import MultiGP
 from runlmc_tpu.models.optimization import EVAL_NORM, AdaDelta
 from runlmc_tpu.ops.interpolation import multi_interpolant
+from runlmc_tpu.ops.slq import slq_logdet
 from runlmc_tpu.ops.solvers import batched_cg, batched_minres
 from runlmc_tpu.params import IDENTITY, POSITIVE
 from runlmc_tpu.priors import check_domain
@@ -133,6 +134,20 @@ class InterpolatedLLGP(MultiGP):
         grid_data, self.grid_axes = make_grids(
             self.spec, self.Xs, lo, hi, m, mode=grid_mode
         )
+        if mesh is not None and "grid" in mesh.axis_names:
+            # pod-scale axis: shard fft-mode grid matvecs' Fourier axis
+            # over the mesh's 'grid' axis (dense-mode groups are capped
+            # at DENSE_MAX_GRID points and stay replicated)
+            import dataclasses as _dc
+
+            grid_data = [
+                gd.replace(
+                    plan=_dc.replace(gd.plan, grid_shard=(mesh, "grid"))
+                )
+                if gd.plan.mode == "fft"
+                else gd
+                for gd in grid_data
+            ]
         self.grid_data = tuple(
             gd.replace(
                 dists=jnp.asarray(gd.dists, dtype=self.dtype),
@@ -345,6 +360,16 @@ class InterpolatedLLGP(MultiGP):
         def wb_solve_fn(wb, rhs):
             return wb.solve(rhs)
 
+        dtype = self.dtype
+
+        @jax.jit
+        def slq_logdet_fn(params, grid_data, key):
+            K = build_kski(spec, params, grid_data, lens)
+            return slq_logdet(
+                K.matvec, n, key, n_probes=max(n_probes, 15), k=40,
+                dtype=dtype,
+            )
+
         @jax.jit
         def alpha_wb_fn(params, grid_data, wb, y):
             """Direct-solve alpha with a residual-certifying PCG wrap."""
@@ -440,6 +465,7 @@ class InterpolatedLLGP(MultiGP):
         self._jit_alpha_wb = alpha_wb_fn
         self._jit_woodbury = woodbury_fn
         self._jit_wb_solve = wb_solve_fn
+        self._jit_slq_logdet = slq_logdet_fn
         self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
         self._jit_native_variance = native_variance_fn
@@ -508,6 +534,11 @@ class InterpolatedLLGP(MultiGP):
         else:
             run_key = self._next_key()
 
+        import time as _time
+
+        chunk_stats = {"steps": 0, "seconds": 0.0, "iters": [],
+                       "errors": []}
+
         def run_chunk(x, gms, sms, step, start_iter):
             """One device-side chunk of AdaDelta steps."""
             self._debug_dump_params(x)
@@ -520,6 +551,7 @@ class InterpolatedLLGP(MultiGP):
                 ],
                 dtype=self.dtype,
             )
+            t0 = _time.time()
             outs = self._jit_chunk(
                 jnp.asarray(x, dtype=self.dtype),
                 jnp.asarray(gms, dtype=self.dtype),
@@ -533,6 +565,10 @@ class InterpolatedLLGP(MultiGP):
                 self.y,
             )
             xs, gmss, smss, steps, gns, iters, errs = jax.device_get(outs)
+            chunk_stats["seconds"] += _time.time() - t0
+            chunk_stats["steps"] += len(gns)
+            chunk_stats["iters"].extend(np.asarray(iters, float))
+            chunk_stats["errors"].extend(np.asarray(errs, float))
             bad = np.asarray(errs, dtype=float) > self.tolerance
             if bad.any():
                 _LOG.warning(
@@ -554,6 +590,25 @@ class InterpolatedLLGP(MultiGP):
                     x0, run_chunk, state=state
                 )
                 info["state"]["rng_key"] = np.asarray(run_key)
+                # per-step breakdown (includes the up-to-chunk_len
+                # device steps per jit call; wasted tail steps at the
+                # stop boundary count toward seconds, not n_iter)
+                info["device_seconds"] = chunk_stats["seconds"]
+                info["device_steps"] = chunk_stats["steps"]
+                info["mean_solve_iters"] = float(
+                    np.mean(chunk_stats["iters"])
+                )
+                info["max_solve_error"] = float(
+                    np.max(chunk_stats["errors"])
+                )
+                _LOG.info(
+                    "optimize: %d device steps in %.2fs (%.1f ms/step; "
+                    "mean solve iters %.1f, worst residual %.2e)",
+                    chunk_stats["steps"], chunk_stats["seconds"],
+                    1e3 * chunk_stats["seconds"]
+                    / max(chunk_stats["steps"], 1),
+                    info["mean_solve_iters"], info["max_solve_error"],
+                )
             else:
                 x_opt, info = optimizer.minimize(
                     x0, fprime, state=state
@@ -664,19 +719,30 @@ class InterpolatedLLGP(MultiGP):
         return float(self.y @ self._alpha())
 
     def ski_log_det(self):
-        """Log det of the SKI covariance via the matrix determinant
-        lemma on the on-device Woodbury factorization — exact up to the
-        factorization's relative-1e-12 Cholesky jitter, never
-        materializing an (n, n) matrix (dense grid mode only). The
-        reference has no fast-logdet path (its roadmap lists Lanczos
-        logdet, reference README.md:86); it reports the O(n^3)
-        dense-kernel logdet instead."""
-        return float(self._woodbury().logdet)
+        """Log det of the SKI covariance, never materializing an
+        (n, n) matrix. Dense grid mode: the matrix determinant lemma on
+        the on-device Woodbury factorization — exact up to the
+        factorization's relative-1e-12 Cholesky jitter. FFT grid mode:
+        a stochastic Lanczos quadrature ESTIMATE (ops/slq.py,
+        deterministic probes per parameter setting). The reference has
+        no fast-logdet path (its roadmap lists Lanczos logdet,
+        reference README.md:86); it reports the O(n^3) dense-kernel
+        logdet instead."""
+        if self._all_dense:
+            return float(self._woodbury().logdet)
+        if "slq_logdet" not in self._cache:
+            self._cache["slq_logdet"] = float(
+                self._jit_slq_logdet(
+                    self.params, self.grid_data, jax.random.PRNGKey(0)
+                )
+            )
+        return self._cache["slq_logdet"]
 
     def ski_log_likelihood(self):
         """Marginal log-likelihood of the SKI model itself:
-        -1/2 (ski_log_det + y^T K_SKI^-1 y + n log 2 pi). Fully
-        matrix-free-exact and cheap at any n (dense grid mode)."""
+        -1/2 (ski_log_det + y^T K_SKI^-1 y + n log 2 pi). Matrix-free
+        and cheap at any n; exact in dense grid mode, logdet-estimated
+        (SLQ) in fft mode."""
         nll = float(self.ski_log_det()) + self.normal_quadratic()
         nll += len(self.data.y) * np.log(2 * np.pi)
         return -0.5 * nll
@@ -695,11 +761,13 @@ class InterpolatedLLGP(MultiGP):
         (:meth:`ski_log_det`) instead of the O(n^3) dense Cholesky the
         reference uses — reporting stays scale-safe."""
         n = len(self.data.y)
-        if self._all_dense and n > self.LARGE_N_EXACT_REPORT:
+        if n > self.LARGE_N_EXACT_REPORT:
             _LOG.info(
-                "log_likelihood: n=%d > %d, reporting the SKI Woodbury "
-                "logdet instead of the O(n^3) exact logdet",
+                "log_likelihood: n=%d > %d, reporting the SKI logdet "
+                "(%s) instead of the O(n^3) exact logdet",
                 n, self.LARGE_N_EXACT_REPORT,
+                "Woodbury, near-exact" if self._all_dense
+                else "Lanczos-quadrature estimate",
             )
             nll = float(self.ski_log_det()) + self.normal_quadratic()
         else:

@@ -1,3 +1,3 @@
-from runlmc_tpu.ops import bttb, interpolation, operators, solvers
+from runlmc_tpu.ops import bttb, interpolation, operators, slq, solvers
 
-__all__ = ["bttb", "interpolation", "operators", "solvers"]
+__all__ = ["bttb", "interpolation", "operators", "slq", "solvers"]

@@ -1,12 +1,14 @@
 from runlmc_tpu.parallel.mesh import (
     default_mesh,
     pad_batch,
+    probe_grid_mesh,
     replicated,
     shard_batch,
 )
 
 __all__ = [
     "default_mesh",
+    "probe_grid_mesh",
     "shard_batch",
     "pad_batch",
     "replicated",

@@ -26,6 +26,16 @@ def default_mesh(n_devices=None, axis_name="probe"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def probe_grid_mesh(n_probe, n_grid):
+    """2-D mesh ('probe', 'grid'): the solve/probe batch shards over
+    'probe'; fft-mode grid matvecs shard their Fourier axis over 'grid'
+    (the pod-scale axis for grids too large for one chip's HBM)."""
+    devices = jax.devices()[: n_probe * n_grid]
+    return Mesh(
+        np.asarray(devices).reshape(n_probe, n_grid), ("probe", "grid")
+    )
+
+
 def pad_batch(b, n_shards):
     """Pad the leading axis of ``b`` (numpy) with zero rows to a multiple
     of ``n_shards`` (zero RHS rows solve instantly to zero and are

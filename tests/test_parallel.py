@@ -67,6 +67,41 @@ def test_mesh_training_matches_single_device(rng):
     )
 
 
+def test_probe_grid_mesh_training_matches_single_device(rng):
+    """2-D mesh ('probe', 'grid'): probes shard over 'probe', fft-mode
+    Fourier axes over 'grid'; still a pure layout change."""
+    from runlmc_tpu.parallel.mesh import probe_grid_mesh
+
+    def build(rng, mesh):
+        Xs = [np.sort(rng.uniform(0, 2 * np.pi, (40, 1)), axis=0)
+              for _ in range(2)]
+        Ys = [np.sin(X[:, 0]) + 0.05 * rng.standard_normal(40)
+              for X in Xs]
+        spec = LMCKernelSpec.create(
+            D=2, lmc_kernels=[RBF(name="k")], lmc_ranks=[1]
+        )
+        return InterpolatedLLGP(
+            Xs, Ys, functional_kernel=spec, m=[16], seed=1, mesh=mesh,
+            trace_iterations=16, tolerance=1e-11, grid_mode="fft",
+        )
+
+    seed_state = rng.bit_generator.state
+    rng.bit_generator.state = seed_state
+    m1 = build(rng, None)
+    info1 = m1.optimize(optimizer=AdaDelta(max_it=8))
+
+    rng.bit_generator.state = seed_state
+    m24 = build(rng, probe_grid_mesh(2, 4))
+    info24 = m24.optimize(optimizer=AdaDelta(max_it=8))
+
+    assert info1["n_iter"] == info24["n_iter"]
+    np.testing.assert_allclose(
+        m1.param_array, m24.param_array, rtol=1e-6, atol=1e-8
+    )
+    mus, _ = m24.predict([np.linspace(1, 5, 7)[:, None]] * 2)
+    assert all(np.all(np.isfinite(mu)) for mu in mus)
+
+
 def test_mesh_prediction_runs(rng):
     mesh = default_mesh(8, axis_name="probe")
     m8 = _sincos_model(rng, mesh=mesh)
