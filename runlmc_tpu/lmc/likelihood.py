@@ -202,6 +202,102 @@ class StochasticAux(NamedTuple):
     quad: jax.Array  # y^T alpha (normal quadratic, for reporting)
 
 
+def _shard_data_rows(x, data_shard, axis=-1):
+    """Constrain one axis (the data axis, default last) of ``x`` over
+    the mesh data-parallel axis."""
+    if data_shard is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, name = data_shard
+    dims = [None] * x.ndim
+    dims[axis] = name
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*dims))
+    )
+
+
+def exact_ski_mll(
+    spec: LMCKernelSpec,
+    raw_params,
+    grid_data,
+    lens,
+    y,
+    jitter=(1e-6, 1e-4, 1e-2),
+    c_jitter=(0.0, 1e-6, 1e-3),
+    data_shard=None,
+):
+    """EXACT marginal log-likelihood of the dense-grid-mode SKI model,
+    differentiated through the on-device Woodbury factorization.
+
+    The model is K~ = sum_g W_g (K_UU_g + delta_g I) W_g^T + diag(eps):
+    the direct factorization (woodbury.py) gives its log-determinant and
+    quadratic form in closed form, and autodiff through the Cholesky
+    factors yields the exact gradient of K~'s MLL — no Hutchinson
+    probes, no Krylov iterations, no trace-estimator variance. This is
+    the TPU-native replacement for the entire stochastic machinery the
+    reference needs (stochastic_deriv.py:12-78): where a CPU cannot
+    afford a (Dm)^3 factorization per optimizer step, the MXU does it
+    in milliseconds, so the unbiased-but-noisy estimator is simply
+    unnecessary at benchmark grid sizes. (The stochastic surrogate
+    remains the path for fft-mode grids too large to factorize.)
+
+    Returns ``(mll, StochasticAux)`` — aux carries the (detached) alpha,
+    a relative residual certifying the factorization's solve quality,
+    and solve_iters=0 (direct solve). Differentiate with
+    ``jax.grad(..., has_aux=True)``.
+
+    ``data_shard``: optional ``(Mesh, axis_name)`` — shards the data
+    axis (the rows of the interpolation blocks, y, and the noise
+    vector) over the named mesh axis. The per-output gram contractions
+    then partition over data rows with one psum each (the capacitance
+    assembly uses the host-precomputed W^T W grams and stays
+    replicated, as does the small Cholesky); this is the multi-chip
+    data-parallel layout for large n.
+    """
+    from runlmc_tpu.lmc.grid import build_kski as _build
+
+    if data_shard is not None:
+        grid_data = tuple(
+            gd.replace(
+                W_blocks=tuple(
+                    _shard_data_rows(b, data_shard, axis=0)
+                    for b in gd.W_blocks
+                )
+            )
+            for gd in grid_data
+        )
+        y = _shard_data_rows(y, data_shard)
+    K = _build(spec, raw_params, grid_data, lens)
+    noise_n = _shard_data_rows(K.noise_n, data_shard)
+    wb = build_device_woodbury(
+        K.groups,
+        spec.noise(raw_params),
+        noise_n,
+        tuple(gd.WtW for gd in grid_data),
+        jitter=jitter,
+        c_jitter=c_jitter,
+    )
+    hi = jax.lax.Precision.HIGHEST
+    alpha = wb.solve(y)
+    quad = jnp.einsum("n,n->", y, alpha, precision=hi)
+    n = y.shape[0]
+    mll = -0.5 * (wb.logdet + quad + n * jnp.log(2 * jnp.pi).astype(y.dtype))
+
+    alpha_d = jax.lax.stop_gradient(alpha)
+    resid = jax.lax.stop_gradient(wb.matvec(alpha_d)) - y
+    err = jnp.linalg.norm(resid) / jnp.maximum(
+        jnp.linalg.norm(y), jnp.asarray(1e-30, y.dtype)
+    )
+    aux = StochasticAux(
+        alpha=alpha_d,
+        solve_iters=jnp.zeros((), jnp.float32),
+        solve_error=jax.lax.stop_gradient(err),
+        quad=jax.lax.stop_gradient(quad),
+    )
+    return mll, aux
+
+
 def stochastic_mll_surrogate(
     spec: LMCKernelSpec,
     raw_params,

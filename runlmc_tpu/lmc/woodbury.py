@@ -51,18 +51,28 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2)):
-    """Cholesky of ``A + delta*I`` with escalating jitter, jit-safe: a
-    candidate factor is computed at every scale (XLA's cholesky yields
-    NaNs rather than raising on an indefinite input) and the first
-    finite one is selected. ``scales`` are relative to mean(diag(A))."""
+    """Cholesky of ``A + delta*I`` with escalating jitter, jit-safe AND
+    autodiff-safe.
+
+    The scale search runs on a gradient-stopped copy: a candidate
+    factor is computed at every scale (XLA's cholesky yields NaNs
+    rather than raising on an indefinite input) and the smallest scale
+    with a finite factor wins. The returned factor is then ONE
+    differentiable cholesky at that scale — selecting between candidate
+    factors with ``jnp.where`` would leak NaN cotangents from the
+    failed candidates' cholesky VJPs (the exact-objective training path
+    differentiates through this). ``scales`` are relative to
+    mean(diag(A))."""
     d = jnp.abs(jnp.mean(jnp.diagonal(A)))
     eye = jnp.eye(A.shape[0], dtype=A.dtype)
-    L = jnp.linalg.cholesky(A + (scales[0] * d) * eye)
-    for s in scales[1:]:
-        ok = jnp.all(jnp.isfinite(L))
-        cand = jnp.linalg.cholesky(A + (s * d) * eye)
-        L = jnp.where(ok, L, cand)
-    return L
+    A_ng = jax.lax.stop_gradient(A)
+    d_ng = jax.lax.stop_gradient(d)
+    chosen = jnp.asarray(scales[-1], dtype=A.dtype)
+    for s in reversed(scales[:-1]):
+        cand = jnp.linalg.cholesky(A_ng + (s * d_ng) * eye)
+        ok = jnp.all(jnp.isfinite(cand))
+        chosen = jnp.where(ok, jnp.asarray(s, dtype=A.dtype), chosen)
+    return jnp.linalg.cholesky(A + (chosen * d) * eye)
 
 
 class DeviceWoodbury(NamedTuple):

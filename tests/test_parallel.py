@@ -31,7 +31,8 @@ def test_entry_compiles():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
-def _sincos_model(rng, mesh=None, n=40, tolerance=1e-4):
+def _sincos_model(rng, mesh=None, n=40, tolerance=1e-4,
+                  objective="stochastic"):
     Xs = [np.sort(rng.uniform(0, 2 * np.pi, (n, 1)), axis=0)
           for _ in range(2)]
     Ys = [np.sin(X[:, 0]) + 0.05 * rng.standard_normal(n) for X in Xs]
@@ -40,7 +41,7 @@ def _sincos_model(rng, mesh=None, n=40, tolerance=1e-4):
     )
     return InterpolatedLLGP(
         Xs, Ys, functional_kernel=spec, m=[16], seed=1, mesh=mesh,
-        trace_iterations=16, tolerance=tolerance,
+        trace_iterations=16, tolerance=tolerance, objective=objective,
     )
 
 
@@ -99,6 +100,33 @@ def test_probe_grid_mesh_training_matches_single_device(rng):
         m1.param_array, m24.param_array, rtol=1e-6, atol=1e-8
     )
     mus, _ = m24.predict([np.linspace(1, 5, 7)[:, None]] * 2)
+    assert all(np.all(np.isfinite(mu)) for mu in mus)
+
+
+def test_mesh_exact_objective_matches_single_device(rng):
+    """The exact-objective training step (per-step f32 Woodbury
+    factorization, no probe batch) shards its DATA axis over the mesh:
+    the per-output interpolation-block contractions partition over
+    data rows with psums. Sharding only reorders f32 reductions, so
+    trained parameters agree to f32-accumulation tolerance."""
+    seed_state = rng.bit_generator.state
+
+    rng.bit_generator.state = seed_state
+    m1 = _sincos_model(rng, mesh=None, objective="exact")
+    assert m1.objective == "exact"
+    info1 = m1.optimize(optimizer=AdaDelta(max_it=8))
+
+    rng.bit_generator.state = seed_state
+    mesh = default_mesh(8, axis_name="probe")
+    m8 = _sincos_model(rng, mesh=mesh, objective="exact")
+    info8 = m8.optimize(optimizer=AdaDelta(max_it=8))
+
+    assert info1["n_iter"] == info8["n_iter"]
+    # pure f32 reduction-reorder drift, compounded over 8 steps
+    np.testing.assert_allclose(
+        m1.param_array, m8.param_array, rtol=5e-3, atol=1e-4
+    )
+    mus, _ = m8.predict([np.linspace(1, 5, 7)[:, None]] * 2)
     assert all(np.all(np.isfinite(mu)) for mu in mus)
 
 
