@@ -76,10 +76,27 @@ def run_kernel(kern_name, n, D, r, seed=0):
         (_, aux), g = jax.value_and_grad(s, has_aux=True)(p)
         return ravel_pytree(g)[0], aux.alpha
 
+    y32 = y.astype(jnp.float32)
+
+    @jax.jit
+    def wb_grad(p):
+        """The flagship training path: exact MLL of the factorized SKI
+        model, autodiff through the per-step f32 Woodbury factorization
+        (probe-free, deterministic)."""
+        p32 = jax.tree.map(lambda a: a.astype(jnp.float32), p)
+
+        def s(pp):
+            mll, aux = lk.exact_ski_mll(spec, pp, grids32, data.lens, y32)
+            return -mll, aux
+
+        (_, aux), g = jax.value_and_grad(s, has_aux=True)(p32)
+        return ravel_pytree(g)[0], aux.alpha
+
     # compile
     ge = exact_grad(params)
     gs, alpha = stoch_grad(params, jax.random.PRNGKey(0))
-    jax.block_until_ready((ge, gs))
+    gw, alpha_wb = wb_grad(params)
+    jax.block_until_ready((ge, gs, gw))
 
     t0 = time.time()
     ge = exact_grad(params)
@@ -91,8 +108,15 @@ def run_kernel(kern_name, n, D, r, seed=0):
     jax.block_until_ready(gs)
     t_stoch = time.time() - t0
 
+    t0 = time.time()
+    gw, alpha_wb = wb_grad(params)
+    jax.block_until_ready(gw)
+    t_wb = time.time() - t0
+
     ge_np, gs_np = np.asarray(ge), np.asarray(gs)
+    gw_np = -np.asarray(gw, dtype=float)  # wb_grad minimizes -mll
     rel_l1 = np.abs(gs_np - ge_np).sum() / np.abs(ge_np).sum()
+    rel_l1_wb = np.abs(gw_np - ge_np).sum() / np.abs(ge_np).sum()
     # alpha accuracy vs dense solve of the SKI operator
     K_exact = lk.exact_dense_K(spec, params, X, oidx)
     alpha_exact = np.linalg.solve(np.asarray(K_exact), np.asarray(y))
@@ -102,8 +126,11 @@ def run_kernel(kern_name, n, D, r, seed=0):
     return {
         "exact_s": t_exact,
         "stoch_s": t_stoch,
+        "wb_s": t_wb,
         "speedup": t_exact / t_stoch,
+        "speedup_wb": t_exact / t_wb,
         "rel_grad_l1": float(rel_l1),
+        "rel_grad_l1_wb": float(rel_l1_wb),
         "rel_alpha_l2": float(rel_alpha),
     }
 
@@ -119,15 +146,19 @@ def main():
     args = ap.parse_args()
     print(
         "| kernel | exact grad (s) | stoch grad (s) | speedup | "
-        "rel grad L1 | rel alpha L2 |"
+        "wb-exact grad (s) | wb speedup | rel grad L1 (stoch/wb) | "
+        "rel alpha L2 |"
     )
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
     for k in args.kernels.split(","):
         r = run_kernel(k, args.n, args.D, args.r)
         print(
-            "| %s | %.3f | %.4f | %.1fx | %.4f | %.2e |"
+            "| %s | %.3f | %.4f | %.1fx | %.4f | %.1fx | %.4f / %.4f "
+            "| %.2e |"
             % (k, r["exact_s"], r["stoch_s"], r["speedup"],
-               r["rel_grad_l1"], r["rel_alpha_l2"])
+               r["wb_s"], r["speedup_wb"],
+               r["rel_grad_l1"], r["rel_grad_l1_wb"],
+               r["rel_alpha_l2"])
         )
 
 
