@@ -197,3 +197,23 @@ def test_pad_and_shard_batch(rng):
     mesh = default_mesh(8, axis_name="probe")
     sharded = shard_batch(jnp.asarray(padded), mesh)
     assert len(sharded.sharding.device_set) == 8
+
+
+def test_mesh_exact_objective_really_partitions(rng):
+    """The sharded exact-objective gradient program must contain
+    cross-device collectives (psum of the data-sharded gram
+    contractions) — i.e., the mesh genuinely partitions the data axis
+    instead of replicating the whole computation."""
+    mesh = default_mesh(8, axis_name="probe")
+    m8 = _sincos_model(rng, mesh=mesh, objective="exact")
+    import jax.numpy as jnp
+
+    x = jnp.asarray(m8.param_array, dtype=m8.dtype)
+    key = jax.random.PRNGKey(0)
+    lowered = m8._jit_grad.lower(
+        x, key, m8.grid_data, m8.grid_data32, m8.y
+    )
+    hlo = lowered.compile().as_text()
+    assert ("all-reduce" in hlo) or ("reduce-scatter" in hlo), (
+        "no collectives in the sharded exact-objective program"
+    )
