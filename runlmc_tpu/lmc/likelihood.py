@@ -109,8 +109,11 @@ def exact_mll(spec: LMCKernelSpec, raw_params, X, oidx, y):
     -1/2 (y^T K^-1 y + log det K + n log 2 pi); autodiff it for the
     oracle gradient path (replaces ExactDeriv, exact_deriv.py:9-23)."""
     K = exact_dense_K(spec, raw_params, X, oidx)
-    L = jnp.linalg.cholesky(K)
-    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    # XLA's blocked cholesky/trisolve run internal matmuls at default
+    # precision (bf16 on TPU) — force full-precision multiplies
+    with jax.default_matmul_precision("highest"):
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     n = y.shape[0]
     return -0.5 * (y @ alpha + logdet + n * jnp.log(2 * jnp.pi))
@@ -118,7 +121,8 @@ def exact_mll(spec: LMCKernelSpec, raw_params, X, oidx, y):
 
 def exact_chol(spec, raw_params, X, oidx):
     K = exact_dense_K(spec, raw_params, X, oidx)
-    return jnp.linalg.cholesky(K)
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.cholesky(K)
 
 
 # --------------------------------------------------------------------------

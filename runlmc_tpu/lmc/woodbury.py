@@ -68,11 +68,19 @@ def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2)):
     A_ng = jax.lax.stop_gradient(A)
     d_ng = jax.lax.stop_gradient(d)
     chosen = jnp.asarray(scales[-1], dtype=A.dtype)
-    for s in reversed(scales[:-1]):
-        cand = jnp.linalg.cholesky(A_ng + (s * d_ng) * eye)
-        ok = jnp.all(jnp.isfinite(cand))
-        chosen = jnp.where(ok, jnp.asarray(s, dtype=A.dtype), chosen)
-    return jnp.linalg.cholesky(A + (chosen * d) * eye)
+    # TPU NOTE: XLA's blocked cholesky runs its internal matmuls at the
+    # DEFAULT matmul precision — bfloat16 multiplies on TPU — which
+    # floors the factorization error at ~1e-2 relative and (measured on
+    # fx2007, where the learned noise is ~1e-3) doubles SMSE. Force
+    # full-precision multiplies.
+    with jax.default_matmul_precision("highest"):
+        for s in reversed(scales[:-1]):
+            cand = jnp.linalg.cholesky(A_ng + (s * d_ng) * eye)
+            ok = jnp.all(jnp.isfinite(cand))
+            chosen = jnp.where(
+                ok, jnp.asarray(s, dtype=A.dtype), chosen
+            )
+        return jnp.linalg.cholesky(A + (chosen * d) * eye)
 
 
 class DeviceWoodbury(NamedTuple):
@@ -135,9 +143,14 @@ class DeviceWoodbury(NamedTuple):
         return out
 
     def _cho_solve_C(self, s):
-        """C^-1 s for s (..., k)."""
+        """C^-1 s for s (..., k). Triangular solves are blocked
+        matmuls on TPU — force full-precision multiplies (see
+        chol_jittered)."""
         flat = s.reshape(-1, s.shape[-1])
-        sol = jax.scipy.linalg.cho_solve((self.L_C, True), flat.T).T
+        with jax.default_matmul_precision("highest"):
+            sol = jax.scipy.linalg.cho_solve(
+                (self.L_C, True), flat.T
+            ).T
         return sol.reshape(s.shape)
 
     def solve(self, rhs):

@@ -102,14 +102,18 @@ class ExactLMC(MultiGP):
         ot = jnp.asarray(td.output_idx)
 
         K = lk.exact_dense_K(self.spec, self.params, self._X, self._oidx)
-        L = jnp.linalg.cholesky(K)
-        alpha = jax.scipy.linalg.cho_solve((L, True), self.y)
+        # force full-precision multiplies inside the blocked
+        # cholesky/trisolve (bf16 by default on TPU)
+        with jax.default_matmul_precision("highest"):
+            L = jnp.linalg.cholesky(K)
+            alpha = jax.scipy.linalg.cho_solve((L, True), self.y)
         K_star = lk.cross_kernel(
             self.spec, self.params, Xt, ot, self._X, self._oidx
         )
         mean = np.asarray(K_star @ alpha)
 
-        sol = jax.scipy.linalg.cho_solve((L, True), K_star.T)
+        with jax.default_matmul_precision("highest"):
+            sol = jax.scipy.linalg.cho_solve((L, True), K_star.T)
         explained = np.asarray(jnp.sum(K_star * sol.T, axis=1))
         # prior variance of each test point (incl. noise), minus explained
         prior = np.zeros(sum(lens))

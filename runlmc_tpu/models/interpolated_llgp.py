@@ -98,6 +98,7 @@ class InterpolatedLLGP(MultiGP):
         dtype=None,
         grid_mode="auto",
         objective="auto",
+        exact_precision="f32",
         mesh=None,
         max_procs=None,  # accepted for API compatibility; parallelism
         # is the device mesh, not processes
@@ -210,6 +211,18 @@ class InterpolatedLLGP(MultiGP):
             if objective != "auto"
             else ("exact" if self.grid_data32 is not None else "stochastic")
         )
+        if exact_precision not in ("f32", "model"):
+            raise ValueError(
+                "unknown exact_precision %r" % (exact_precision,)
+            )
+        # 'f32': the per-step factorization runs in float32 (fast MXU
+        # path; adequate whenever the learned noise stays well above
+        # f32 roundoff amplified by the system's conditioning).
+        # 'model': factorize at the model dtype with tight jitter —
+        # for small-noise regimes (e.g. fx2007 learns noise ~1e-4-1e-5,
+        # where f32 factorization error acts as an effective noise
+        # floor and measurably degrades SMSE).
+        self.exact_precision = exact_precision
         for gd in self.grid_data:
             _LOG.info(
                 "InterpolatedLLGP %s generated grid (n=%d, m=%d) for "
@@ -286,6 +299,7 @@ class InterpolatedLLGP(MultiGP):
         rhs_sharding = self._rhs_sharding
 
         objective_mode = self.objective
+        exact_precision = self.exact_precision
         data_shard = self._data_shard
 
         def _grad(x_flat, key, grid_data, grid_data32, y):
@@ -293,17 +307,31 @@ class InterpolatedLLGP(MultiGP):
 
             if objective_mode == "exact":
                 # Exact MLL of the factorized SKI model, computed and
-                # differentiated in float32 through the per-step direct
-                # Woodbury factorization. Deterministic: `key` is
-                # unused (and DCE'd by XLA).
-                params32 = jax.tree.map(
-                    lambda a: a.astype(jnp.float32), params
+                # differentiated through the per-step direct Woodbury
+                # factorization — in float32 ('f32') or at the model
+                # dtype with tight jitter ('model', for small-noise
+                # regimes). Deterministic: `key` is unused (DCE'd).
+                if exact_precision == "f32":
+                    gd, cdtype = grid_data32, jnp.float32
+                    jit_scales = (1e-6, 1e-4, 1e-2)
+                    c_scales = (0.0, 1e-6, 1e-3)
+                else:
+                    gd, cdtype = grid_data, y.dtype
+                    if cdtype == jnp.float64:
+                        jit_scales = (1e-12, 1e-9, 1e-6)
+                        c_scales = (0.0, 1e-12, 1e-9)
+                    else:
+                        jit_scales = (1e-6, 1e-4, 1e-2)
+                        c_scales = (0.0, 1e-6, 1e-3)
+                params_c = jax.tree.map(
+                    lambda a: a.astype(cdtype), params
                 )
 
                 def objective(p):
                     mll, aux = lk.exact_ski_mll(
-                        spec, p, grid_data32, lens,
-                        y.astype(jnp.float32), data_shard=data_shard,
+                        spec, p, gd, lens,
+                        y.astype(cdtype), jitter=jit_scales,
+                        c_jitter=c_scales, data_shard=data_shard,
                     )
                     if prior_specs:
                         mll = mll + lk.log_prior_term(prior_specs, p)
@@ -311,7 +339,7 @@ class InterpolatedLLGP(MultiGP):
 
                 (_, aux), g = jax.value_and_grad(
                     objective, has_aux=True
-                )(params32)
+                )(params_c)
                 gflat, _ = ravel_pytree(g)
                 return gflat.astype(x_flat.dtype), aux
 
@@ -964,7 +992,8 @@ class InterpolatedLLGP(MultiGP):
         interpolated_llgp.py:350-356)."""
         K_test_X = self._cross_kernel(Xs)
         L = self._chol()
-        sol = jax.scipy.linalg.cho_solve((L, True), K_test_X.T)
+        with jax.default_matmul_precision("highest"):
+            sol = jax.scipy.linalg.cho_solve((L, True), K_test_X.T)
         return np.asarray(jnp.sum(K_test_X * sol.T, axis=1))
 
     def _var_predict_on_the_fly(self, test_interps, Xs):
