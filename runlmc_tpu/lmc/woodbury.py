@@ -44,6 +44,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from runlmc_tpu.ops.solvers import batched_cg
 
@@ -54,33 +55,41 @@ def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2)):
     """Cholesky of ``A + delta*I`` with escalating jitter, jit-safe AND
     autodiff-safe.
 
-    The scale search runs on a gradient-stopped copy: a candidate
-    factor is computed at every scale (XLA's cholesky yields NaNs
-    rather than raising on an indefinite input) and the smallest scale
-    with a finite factor wins. The returned factor is then ONE
-    differentiable cholesky at that scale — selecting between candidate
-    factors with ``jnp.where`` would leak NaN cotangents from the
-    failed candidates' cholesky VJPs (the exact-objective training path
+    The scale search runs on a gradient-stopped copy inside a
+    ``lax.while_loop`` that stops at the FIRST scale whose factor is
+    finite (XLA's cholesky yields NaNs rather than raising on an
+    indefinite input) — in the overwhelmingly common case where the
+    smallest scale succeeds, the search costs one probe factorization,
+    not one per scale. The returned factor is then ONE differentiable
+    cholesky at the chosen scale — selecting between candidate factors
+    with ``jnp.where`` would leak NaN cotangents from the failed
+    candidates' cholesky VJPs (the exact-objective training path
     differentiates through this). ``scales`` are relative to
     mean(diag(A))."""
     d = jnp.abs(jnp.mean(jnp.diagonal(A)))
     eye = jnp.eye(A.shape[0], dtype=A.dtype)
     A_ng = jax.lax.stop_gradient(A)
     d_ng = jax.lax.stop_gradient(d)
-    chosen = jnp.asarray(scales[-1], dtype=A.dtype)
+    scales_arr = jnp.asarray(np.asarray(scales), dtype=A.dtype)
     # TPU NOTE: XLA's blocked cholesky runs its internal matmuls at the
     # DEFAULT matmul precision — bfloat16 multiplies on TPU — which
     # floors the factorization error at ~1e-2 relative and (measured on
     # fx2007, where the learned noise is ~1e-3) doubles SMSE. Force
     # full-precision multiplies.
     with jax.default_matmul_precision("highest"):
-        for s in reversed(scales[:-1]):
-            cand = jnp.linalg.cholesky(A_ng + (s * d_ng) * eye)
-            ok = jnp.all(jnp.isfinite(cand))
-            chosen = jnp.where(
-                ok, jnp.asarray(s, dtype=A.dtype), chosen
+
+        def _ok(i):
+            cand = jnp.linalg.cholesky(
+                A_ng + (scales_arr[i] * d_ng) * eye
             )
-        return jnp.linalg.cholesky(A + (chosen * d) * eye)
+            return jnp.all(jnp.isfinite(cand))
+
+        idx = jax.lax.while_loop(
+            lambda i: (i < len(scales) - 1) & ~_ok(i),
+            lambda i: i + 1,
+            jnp.zeros((), jnp.int32),
+        )
+        return jnp.linalg.cholesky(A + (scales_arr[idx] * d) * eye)
 
 
 class DeviceWoodbury(NamedTuple):

@@ -129,15 +129,29 @@ class InterpolatedLLGP(MultiGP):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            # shard the (1 + n_probes)-RHS solve batch over the mesh's
-            # first axis — the TPU replacement for the reference's
-            # pool.starmap over solves (stochastic_deriv.py:51-52)
-            self._rhs_sharding = NamedSharding(
-                mesh, PartitionSpec(mesh.axis_names[0], None)
+            # The 'grid' axis (if any) shards grid-sized tensors via
+            # GSPMD constraints inside the operator; the FIRST non-grid
+            # axis shards the (1 + n_probes)-RHS solve batch — the TPU
+            # replacement for the reference's pool.starmap over solves
+            # (stochastic_deriv.py:51-52). A mesh whose ONLY axis is
+            # 'grid' therefore gets no RHS sharding: the solver runs
+            # un-shard_mapped and XLA partitions the loop through the
+            # operator's own grid constraints (shard_map bodies cannot
+            # contain with_sharding_constraint).
+            batch_axis = next(
+                (a for a in mesh.axis_names if a != "grid"), None
             )
-            # the exact objective has no probe batch; its data-parallel
-            # axis is the data rows themselves (likelihood._shard_data_rows)
-            self._data_shard = (mesh, mesh.axis_names[0])
+            if batch_axis is not None:
+                self._rhs_sharding = NamedSharding(
+                    mesh, PartitionSpec(batch_axis, None)
+                )
+                # the exact objective has no probe batch; its
+                # data-parallel axis is the data rows themselves
+                # (likelihood._shard_data_rows)
+                self._data_shard = (mesh, batch_axis)
+            else:
+                self._rhs_sharding = None
+                self._data_shard = None
         else:
             self._rhs_sharding = None
             self._data_shard = None
@@ -842,31 +856,44 @@ class InterpolatedLLGP(MultiGP):
         nll += len(self.data.y) * np.log(2 * np.pi)
         return -0.5 * nll
 
-    # Above this n, log_likelihood() switches from the exact O(n^3)
-    # logdet to the SKI Woodbury logdet (dense grid mode): at e.g.
-    # weather scale (n=15,789) the exact path is a 2 GB Cholesky per
-    # parameter setting, for a reporting-only quantity.
+    # Default size cutoff for log_likelihood(exact=None): above this n
+    # the exact O(n^3) logdet is a 2 GB Cholesky per parameter setting
+    # (e.g. weather, n=15,789) for a reporting-only quantity, so the
+    # default switches to the SKI logdet. Pass ``exact=True/False`` to
+    # pin the definition regardless of n.
     LARGE_N_EXACT_REPORT = 5000
 
-    def log_likelihood(self):
-        """-1/2 (log det K + y^T K^-1 y + n log 2pi): exact logdet +
-        matrix-free quadratic (parity: interpolated_llgp.py:287-290).
-        Beyond ``LARGE_N_EXACT_REPORT`` data points in dense grid mode,
-        the logdet comes from the O(n k^2) Woodbury factorization
-        (:meth:`ski_log_det`) instead of the O(n^3) dense Cholesky the
-        reference uses — reporting stays scale-safe."""
+    def log_likelihood(self, exact=None):
+        """-1/2 (log det K + y^T K^-1 y + n log 2pi) (parity:
+        interpolated_llgp.py:287-290).
+
+        :param exact: which log-determinant definition to use.
+            ``True``: the reference's exact dense-kernel Cholesky logdet
+            (O(n^3) — the quantity the reference reports at every n).
+            ``False``: the SKI-model logdet (:meth:`ski_log_det` —
+            Woodbury, near-exact in dense grid mode; an SLQ estimate in
+            fft mode). ``None`` (default): ``True`` for
+            n <= ``LARGE_N_EXACT_REPORT``, else ``False``, with a
+            WARNING naming the definition used — comparisons across n
+            should pass ``exact`` explicitly so the definition cannot
+            switch silently.
+        """
         n = len(self.data.y)
-        if n > self.LARGE_N_EXACT_REPORT:
-            _LOG.info(
-                "log_likelihood: n=%d > %d, reporting the SKI logdet "
-                "(%s) instead of the O(n^3) exact logdet",
-                n, self.LARGE_N_EXACT_REPORT,
-                "Woodbury, near-exact" if self._all_dense
-                else "Lanczos-quadrature estimate",
-            )
-            nll = float(self.ski_log_det()) + self.normal_quadratic()
-        else:
+        if exact is None:
+            exact = n <= self.LARGE_N_EXACT_REPORT
+            if not exact:
+                _LOG.warning(
+                    "log_likelihood: n=%d > %d, reporting the SKI "
+                    "logdet (%s) instead of the O(n^3) exact logdet; "
+                    "pass exact=True/False to pin the definition",
+                    n, self.LARGE_N_EXACT_REPORT,
+                    "Woodbury, near-exact" if self._all_dense
+                    else "Lanczos-quadrature estimate",
+                )
+        if exact:
             nll = self.log_det_K() + self.normal_quadratic()
+        else:
+            nll = float(self.ski_log_det()) + self.normal_quadratic()
         nll += n * np.log(2 * np.pi)
         return -0.5 * nll
 

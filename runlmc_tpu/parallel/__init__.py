@@ -1,3 +1,8 @@
+from runlmc_tpu.parallel.launcher import (
+    global_mesh,
+    initialize,
+    is_distributed,
+)
 from runlmc_tpu.parallel.mesh import (
     default_mesh,
     pad_batch,
@@ -12,4 +17,7 @@ __all__ = [
     "shard_batch",
     "pad_batch",
     "replicated",
+    "initialize",
+    "global_mesh",
+    "is_distributed",
 ]

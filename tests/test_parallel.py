@@ -199,6 +199,40 @@ def test_pad_and_shard_batch(rng):
     assert len(sharded.sharding.device_set) == 8
 
 
+def test_grid_only_mesh_runs(rng):
+    """A single-axis mesh named 'grid' shards grid-sized tensors via
+    GSPMD constraints inside the operator — the RHS batch must NOT be
+    shard_mapped over that axis (with_sharding_constraint cannot appear
+    in a shard_map body; regression for the round-2 advisor finding)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("grid",))
+    m = _sincos_model(rng, mesh=mesh)
+    assert m._rhs_sharding is None
+    info = m.optimize(optimizer=AdaDelta(max_it=4))
+    assert info["n_iter"] == 4
+    mus, vs = m.predict([np.linspace(1, 5, 7)[:, None]] * 2)
+    assert all(np.all(np.isfinite(mu)) for mu in mus)
+
+
+def test_initialize_single_host_noop(rng, monkeypatch):
+    """parallel.initialize() without a coordinator on a non-TPU
+    platform must be a no-op (the degenerate single-host mode of the
+    multi-host launch recipe)."""
+    import runlmc_tpu.parallel as par
+
+    monkeypatch.delenv("COORD", raising=False)
+    monkeypatch.delenv("NPROC", raising=False)
+    assert par.initialize() is False
+    assert par.is_distributed() is False
+    mesh = par.global_mesh(axis_name="probe")
+    assert mesh.axis_names == ("probe",)
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = par.global_mesh(axis_name="probe", grid_axis=4)
+    assert mesh2.axis_names == ("probe", "grid")
+    assert mesh2.shape["grid"] == 4
+
+
 def test_mesh_exact_objective_really_partitions(rng):
     """The sharded exact-objective gradient program must contain
     cross-device collectives (psum of the data-sharded gram
