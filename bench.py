@@ -189,9 +189,27 @@ def run_once(name, seed, m=None, subsample=None, max_it=100):
     t_pred = time.time() - t0
     s = smse(test_yss, pred_yss, yss)
     nl = nlpd(test_yss, pred_yss, pred_vss)
+
+    # Solve-quality self-report: the NLPD above is computed on the
+    # zero-variance-filtered test set (reference parity,
+    # standard_tester.py:218-228) — meaningful only when the filtered
+    # fraction is ~0, so the benchmark must surface it, along with the
+    # certified prediction-solve residuals and the learned noise floor
+    # (the conditioning driver).
+    n_zero = sum(int((np.asarray(v) <= 0).sum()) for v in pred_vss)
+    n_test = sum(len(np.asarray(v)) for v in pred_vss)
+    rep = lmc.prediction_report
+    pred_residual = max(
+        (d["residual"] for d in rep.values()), default=float("nan")
+    )
+    escalated = any(d.get("escalated") for d in rep.values())
+    noise = np.asarray(lmc.spec.noise(lmc.params))
     _log(
-        "predict %.2fs (first %.2fs incl compile) smse %.4f nlpd %.4f"
-        % (t_pred, t_pred_first, s, nl)
+        "predict %.2fs (first %.2fs incl compile) smse %.4f nlpd %.4f "
+        "zero-var %d/%d residual %.1e%s noise[min/med] %.1e/%.1e"
+        % (t_pred, t_pred_first, s, nl, n_zero, n_test, pred_residual,
+           " (escalated)" if escalated else "", noise.min(),
+           float(np.median(noise)))
     )
     return {
         "train_s": t_train,
@@ -200,6 +218,12 @@ def run_once(name, seed, m=None, subsample=None, max_it=100):
         "iters": info["n_iter"],
         "smse": s,
         "nlpd": nl,
+        "zero_var_frac": n_zero / max(n_test, 1),
+        "pred_residual": pred_residual,
+        "escalated": escalated,
+        "noise_min": float(noise.min()),
+        "noise_med": float(np.median(noise)),
+        "train_residual": float(info.get("max_solve_error", float("nan"))),
     }
 
 
@@ -261,6 +285,24 @@ def main():
         "nlpd": round(float(np.mean([r["nlpd"] for r in results])), 4),
         "iters": float(np.mean([r["iters"] for r in results])),
         "runs": args.runs,
+        # quality self-report (see run_once): the NLPD is only at
+        # reference parity when zero_var_frac ~ 0 and the prediction
+        # solves certified their residuals
+        "zero_var_frac": round(
+            float(np.mean([r["zero_var_frac"] for r in results])), 4
+        ),
+        "pred_residual": float(
+            np.max([r["pred_residual"] for r in results])
+        ),
+        "noise_min": float(np.min([r["noise_min"] for r in results])),
+        "escalated_runs": int(sum(r["escalated"] for r in results)),
+        "per_run": [
+            {k: (round(float(r[k]), 5) if isinstance(r[k], float)
+                 else r[k])
+             for k in ("train_s", "smse", "nlpd", "zero_var_frac",
+                       "pred_residual", "noise_min", "iters")}
+            for r in results
+        ],
     }
     print(json.dumps(out))
 

@@ -39,6 +39,18 @@ from runlmc_tpu.priors import check_domain
 
 _LOG = logging.getLogger(__name__)
 
+# Exact-objective residual threshold: the largest per-step factorized-
+# solve relative residual at which the float32 exact gradient is still
+# trustworthy. CALIBRATED by tests/test_exact_residual.py, which sweeps
+# conditioning (noise 1e-1..1e-6) and measures the f32 gradient's
+# cosine/relative error against the f64 exact-SKI gradient: residuals
+# up to ~0.1 keep cosine >= 0.995 and relative error <= 10% — far
+# below the reference's own 15-probe stochastic-estimator error
+# (0.005-0.1 relative, reference grad-grid/out/extracted_summary.csv).
+# Chunks whose worst residual exceeds this escalate training to
+# exact_precision='model'.
+EXACT_RESIDUAL_THRESHOLD = 0.1
+
 
 class InterpolatedLLGP(MultiGP):
     """Matrix-free LMC multi-output GP with SKI covariance approximation.
@@ -259,6 +271,10 @@ class InterpolatedLLGP(MultiGP):
         self._prior_specs = []
         self.metrics = Metrics() if metrics else None
         self._cache = {}
+        # per-parameter-setting solve diagnostics (residuals, iteration
+        # counts, escalations) for the latest prediction/reporting
+        # solves — the benchmark harness surfaces these in its JSON
+        self.prediction_report = {}
         self._version = 0
         self._build_jit()
         _LOG.info("InterpolatedLLGP %s fully initialized", name)
@@ -272,6 +288,7 @@ class InterpolatedLLGP(MultiGP):
     def _bump(self):
         self._version += 1
         self._cache.clear()
+        self.prediction_report = {}
 
     def set_params(self, params):
         self.params = params
@@ -426,7 +443,8 @@ class InterpolatedLLGP(MultiGP):
         @jax.jit
         def woodbury_fn(params, grid_data):
             """Direct factorization of K_SKI at the model's full
-            precision (reporting/prediction; dense grid mode)."""
+            precision (escalation path + near-exact logdet; dense grid
+            mode)."""
             K = build_kski(spec, params, grid_data, lens)
             tight = (
                 (1e-12, 1e-9, 1e-6)
@@ -448,14 +466,40 @@ class InterpolatedLLGP(MultiGP):
             )
 
         @jax.jit
+        def woodbury32_fn(params, grid_data32):
+            """Float32 factorization of K_SKI — the PCG preconditioner
+            for prediction-time solves. Building it costs milliseconds
+            on the MXU (the same program the exact training step runs
+            per iteration); the full-precision factorization it
+            replaces costs minutes of f64-emulation compile+run on TPU
+            and is kept only as the escalation path."""
+            params32 = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype=jnp.float32), params
+            )
+            K32 = build_kski(spec, params32, grid_data32, lens)
+            return build_device_woodbury(
+                K32.groups,
+                spec.noise(params32),
+                K32.noise_n,
+                tuple(gd.WtW for gd in grid_data32),
+            )
+
+        @jax.jit
+        def wb_pcg_solve_fn(params, grid_data, wb, rhs):
+            """Batched K^-1 rhs at the MODEL dtype: CG on the exact
+            operator preconditioned by a (typically f32) Woodbury
+            factor — every row's TRUE residual is driven below ``tol``
+            and returned (self-certifying, unlike a raw factorized
+            solve)."""
+            K = build_kski(spec, params, grid_data, lens)
+            res = woodbury_pcg(K.matvec, wb, rhs, tol=tol, maxiter=n)
+            return res.x, res.iterations, res.error
+
+        @jax.jit
         def alpha_fn(params, grid_data, y):
             K = build_kski(spec, params, grid_data, lens)
             res = self._solver_fn()(K.matvec, y[None], tol=tol, maxiter=n)
             return res.x[0], res.iterations[0], res.error[0]
-
-        @jax.jit
-        def wb_solve_fn(wb, rhs):
-            return wb.solve(rhs)
 
         dtype = self.dtype
 
@@ -466,13 +510,6 @@ class InterpolatedLLGP(MultiGP):
                 K.matvec, n, key, n_probes=max(n_probes, 15), k=40,
                 dtype=dtype,
             )
-
-        @jax.jit
-        def alpha_wb_fn(params, grid_data, wb, y):
-            """Direct-solve alpha with a residual-certifying PCG wrap."""
-            K = build_kski(spec, params, grid_data, lens)
-            res = woodbury_pcg(K.matvec, wb, y[None], tol=tol, maxiter=n)
-            return res.x[0], res.iterations[0], res.error[0]
 
         @jax.jit
         def kski_fn(params, grid_data):
@@ -559,9 +596,9 @@ class InterpolatedLLGP(MultiGP):
         self._jit_grad = grad_fn
         self._jit_chunk = chunk_fn
         self._jit_alpha = alpha_fn
-        self._jit_alpha_wb = alpha_wb_fn
         self._jit_woodbury = woodbury_fn
-        self._jit_wb_solve = wb_solve_fn
+        self._jit_woodbury32 = woodbury32_fn
+        self._jit_wb_pcg_solve = wb_pcg_solve_fn
         self._jit_slq_logdet = slq_logdet_fn
         self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
@@ -666,27 +703,42 @@ class InterpolatedLLGP(MultiGP):
             chunk_stats["steps"] += len(gns)
             chunk_stats["iters"].extend(np.asarray(iters, float))
             chunk_stats["errors"].extend(np.asarray(errs, float))
-            # exact mode reports the float32 direct solve's raw
-            # residual (no refinement loop drives it to `tolerance`),
-            # which is a PESSIMISTIC diagnostic: measured against the
-            # f64 oracle, a 0.37 relative residual at noise=1e-3 still
-            # yields gradients within 4% (cosine 0.9999) — far below
-            # the reference's own 15-probe estimator noise. Only
-            # O(1) residuals indicate a genuinely broken factorization.
-            thresh = (
-                self.tolerance
-                if self.objective == "stochastic"
-                else max(self.tolerance, 0.5)
-            )
-            bad = np.asarray(errs, dtype=float) > thresh
-            if bad.any():
-                _LOG.warning(
-                    "%d/%d chunk steps did not certify the %g solve "
-                    "residual threshold (worst %e) — gradients for "
-                    "those steps are inexact",
-                    int(bad.sum()), len(bad), thresh,
-                    float(np.max(errs)),
-                )
+            worst = float(np.max(np.asarray(errs, dtype=float)))
+            if self.objective == "stochastic":
+                # Krylov solves are refined to `tolerance`; anything
+                # above it means the solver genuinely stalled.
+                if worst > self.tolerance:
+                    _LOG.warning(
+                        "chunk worst solve residual %e exceeds the %g "
+                        "tolerance — gradients for those steps are "
+                        "inexact",
+                        worst, self.tolerance,
+                    )
+            elif worst > EXACT_RESIDUAL_THRESHOLD:
+                # Exact mode reports the factorized solve's raw
+                # relative residual. Below EXACT_RESIDUAL_THRESHOLD the
+                # f32 gradient is calibrated-accurate
+                # (tests/test_exact_residual.py); above it the
+                # factorization is degrading (small learned noise), so
+                # ESCALATE the remaining steps to the model-dtype
+                # factorization.
+                if self.exact_precision == "f32":
+                    _LOG.warning(
+                        "exact-objective residual %e exceeded the "
+                        "calibrated %g threshold — escalating training "
+                        "to exact_precision='model' for the remaining "
+                        "steps",
+                        worst, EXACT_RESIDUAL_THRESHOLD,
+                    )
+                    self.exact_precision = "model"
+                    self._build_jit()
+                else:
+                    _LOG.warning(
+                        "exact-objective residual %e exceeds the "
+                        "calibrated %g threshold at model precision — "
+                        "gradients for those steps are inexact",
+                        worst, EXACT_RESIDUAL_THRESHOLD,
+                    )
             return xs, gmss, smss, steps, gns
 
         x0 = self.param_array
@@ -771,32 +823,85 @@ class InterpolatedLLGP(MultiGP):
         return all(gd.plan.mode == "dense" for gd in self.grid_data)
 
     def _woodbury(self):
-        """Direct Woodbury factorization of K_SKI (dense grid mode) at
-        the model's full precision, built entirely on device; cached per
-        parameter setting."""
+        """Model-dtype Woodbury factorization of K_SKI (dense grid
+        mode): the ESCALATION preconditioner and the near-exact logdet.
+        Expensive on TPU when the model dtype is float64 (emulated) —
+        prediction normally runs off :meth:`_woodbury32`."""
         if "woodbury" not in self._cache:
             self._cache["woodbury"] = self._jit_woodbury(
                 self.params, self.grid_data
             )
         return self._cache["woodbury"]
 
+    def _woodbury32(self):
+        """Float32 Woodbury factor (dense grid mode) — the default
+        prediction-time PCG preconditioner; milliseconds to build."""
+        if "woodbury32" not in self._cache:
+            self._cache["woodbury32"] = self._jit_woodbury32(
+                self.params, self.grid_data32
+            )
+        return self._cache["woodbury32"]
+
+    def _solve_certified(self, rhs, what):
+        """K^-1 rhs (batched, model dtype) with an auto-escalating
+        preconditioner ladder: f32 Woodbury-preconditioned CG (true
+        residuals checked every cycle) -> model-dtype Woodbury
+        preconditioner -> CRITICAL log with the best iterate (parity
+        with the reference's tolerated MINRES non-convergence,
+        iterative.py:54-58). Returns (solutions, worst abs residual).
+        Records per-call diagnostics in ``self.prediction_report``."""
+        x, iters, err = self._jit_wb_pcg_solve(
+            self.params, self.grid_data, self._woodbury32(), rhs
+        )
+        worst = float(jnp.max(err))
+        escalated = False
+        if worst > self.tolerance:
+            escalated = True
+            _LOG.warning(
+                "%s: f32-preconditioned solve stalled at residual %e "
+                "(tolerance %g) — escalating to the model-dtype "
+                "factorization",
+                what, worst, self.tolerance,
+            )
+            x, iters, err = self._jit_wb_pcg_solve(
+                self.params, self.grid_data, self._woodbury(), rhs
+            )
+            worst = float(jnp.max(err))
+        if worst > self.tolerance:
+            _LOG.critical(
+                "%s (n = %d) did not converge: reconstruction error %e",
+                what, self.y.shape[0], worst,
+            )
+        self.prediction_report[what] = {
+            "residual": worst,
+            "iterations": float(jnp.max(iters)),
+            "escalated": escalated,
+            "rhs": int(rhs.shape[0]),
+        }
+        return x, worst
+
     def _alpha(self):
         if "alpha" not in self._cache:
             if self._all_dense:
-                alpha, iters, err = self._jit_alpha_wb(
-                    self.params, self.grid_data, self._woodbury(), self.y
-                )
+                sols, _ = self._solve_certified(self.y[None], "alpha")
+                alpha = sols[0]
             else:
                 alpha, iters, err = self._jit_alpha(
                     self.params, self.grid_data, self.y
                 )
-            if float(err) > self.tolerance:
-                _LOG.critical(
-                    "solve (n = %d) did not converge: reconstruction "
-                    "error %e",
-                    self.y.shape[0],
-                    float(err),
-                )
+                worst = float(err)
+                self.prediction_report["alpha"] = {
+                    "residual": worst,
+                    "iterations": float(iters),
+                    "escalated": False,
+                    "rhs": 1,
+                }
+                if worst > self.tolerance:
+                    _LOG.critical(
+                        "solve (n = %d) did not converge: "
+                        "reconstruction error %e",
+                        self.y.shape[0], worst,
+                    )
             self._cache["alpha"] = alpha
         return self._cache["alpha"]
 
@@ -941,10 +1046,36 @@ class InterpolatedLLGP(MultiGP):
         test_interps = self._test_interps(Xs)
 
         if self._all_dense and self.prediction != "exact":
-            # Direct path: Woodbury-factored K_SKI — closed-form solves
-            # for alpha and every test column, no Krylov iteration.
-            wb = self._woodbury()
-            alpha = self._alpha()
+            # Direct path: f32-Woodbury-preconditioned CG against the
+            # model-dtype operator — every solve's TRUE residual is
+            # certified below tolerance (escalating to the model-dtype
+            # factorization if the f32 preconditioner stalls). The
+            # observation solve (alpha) rides in the SAME batched call
+            # as the test columns: one program, one shape — repeat
+            # predictions reuse the compiled program instead of paying
+            # a second XLA compile for a batch-size-off-by-one solve.
+            if self.prediction == "on-the-fly":
+                K_test_X = self._cross_kernel(Xs)
+                if K_test_X.shape[0]:
+                    rhs = jnp.concatenate([self.y[None], K_test_X], 0)
+                    sols, _ = self._solve_certified(
+                        rhs, "explained-variance"
+                    )
+                    alpha = sols[0]
+                    self._cache["alpha"] = alpha
+                    explained = np.asarray(
+                        jnp.sum(K_test_X * sols[1:], axis=1)
+                    )
+                else:
+                    alpha = self._alpha()
+                    explained = np.zeros(0)
+            else:  # 'precompute'
+                alpha = self._alpha()
+                nu = self._precomputed_nu()
+                assert len(test_interps) == 1
+                explained = np.asarray(
+                    test_interps[0].matvec(jnp.asarray(nu))
+                )
             mean = np.asarray(
                 self._jit_predict_mean(
                     self.params, alpha, test_interps, self.grid_data
@@ -952,21 +1083,6 @@ class InterpolatedLLGP(MultiGP):
             )
             native = np.asarray(self._jit_native_variance(self.params))
             native = np.repeat(native, lens)
-            if self.prediction == "on-the-fly":
-                K_test_X = self._cross_kernel(Xs)
-                if K_test_X.shape[0]:
-                    E = self._jit_wb_solve(wb, K_test_X)
-                    explained = np.asarray(
-                        jnp.sum(K_test_X * E, axis=1)
-                    )
-                else:
-                    explained = np.zeros(0)
-            else:  # 'precompute'
-                nu = self._precomputed_nu()
-                assert len(test_interps) == 1
-                explained = np.asarray(
-                    test_interps[0].matvec(jnp.asarray(nu))
-                )
             var = np.maximum(native - explained, 0.0)
             ends = np.cumsum(lens)[:-1]
             return np.split(mean, ends), np.split(var, ends)
@@ -1059,7 +1175,7 @@ class InterpolatedLLGP(MultiGP):
             KUU = g.grid_matvec(eye)  # dense (Dm, Dm), symmetric
             rhs = g.interp.matvec(KUU)  # rows: K_XU columns, (Dm, n)
             if self._all_dense:
-                sols = self._jit_wb_solve(self._woodbury(), rhs)
+                sols, _ = self._solve_certified(rhs, "precompute-nu")
             else:
                 res = self._solver_fn()(
                     K.matvec, rhs, tol=self.tolerance,
