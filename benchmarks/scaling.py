@@ -91,7 +91,19 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
         results.append((B, dt, thr))
         _log("B=%3d  %7.1f ms  %8.1f solves/s  (iters %s)"
              % (B, dt * 1e3, thr, int(jnp.max(it))))
-    eff = results[-1][2] / (base * results[-1][0] / results[0][0])
+    times = {B: dt for B, dt, _ in results}
+    # Derived 8-chip mesh efficiency for the probe-sharded solve: the
+    # sharded solver runs each device's local RHS rows through a
+    # COMPLETE independent solver loop with ZERO intra-loop collectives
+    # (likelihood.sharded_solve), so 8 chips at B/8 rows each take the
+    # measured single-chip t(B/8) — efficiency = t(B) / (8 t(B/8)).
+    # This is the honest real-hardware stand-in for the >=80% scaling
+    # north star while only one physical chip is reachable.
+    derived = {
+        "8x@B=%d" % B: round(times[B] / (8 * times[B // 8]), 3)
+        for B in (8, 16, 32, 64)
+        if B in times and B // 8 in times
+    }
     print(json.dumps({
         "metric": "solve_batch_scaling",
         "value": round(results[-1][2], 1),
@@ -104,8 +116,8 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
         "batch_efficiency_vs_B1": round(
             results[-1][2] / (base * results[-1][0]), 3
         ),
+        "derived_mesh_efficiency": derived,
     }))
-    del eff
 
 
 def _mesh_child(n_dev):
@@ -175,6 +187,117 @@ def run_mesh_scaling():
     }))
 
 
+def _analyze_child(n_dev):
+    """Compile the REAL training-step gradient program at ``n_dev``
+    devices and report its per-device FLOP count and collective ops —
+    the partition-efficiency measurement that a shared-core virtual
+    mesh CAN honestly make (wall-clock on virtual devices cannot)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from runlmc_tpu import InterpolatedLLGP, LMCKernelSpec, RBF
+    from runlmc_tpu.parallel.mesh import default_mesh
+
+    rng = np.random.default_rng(0)
+    D, n_per = 4, 400
+    Xs = [np.sort(rng.uniform(0, 1, (n_per, 1)), axis=0)
+          for _ in range(D)]
+    Ys = [np.sin(7 * X[:, 0]) + 0.1 * rng.standard_normal(n_per)
+          for X in Xs]
+    spec = LMCKernelSpec.create(
+        D=D, lmc_kernels=[RBF(name="k0")], lmc_ranks=[2]
+    )
+    mesh = default_mesh(n_dev, axis_name="probe") if n_dev > 1 else None
+    out = {}
+    # 'exact' and dense-mode 'stochastic' both run a per-step direct
+    # factorization, which is REPLICATED (single-chip-optimal by
+    # design); their flop balance quantifies exactly that. The config
+    # that scales over the mesh is the matvec-dominated fft-mode
+    # stochastic path ('stochastic-fft'): probes shard, the Krylov
+    # loop partitions with no intra-loop collectives.
+    for objective, grid_mode in (
+        ("exact", "auto"), ("stochastic", "auto"),
+        ("stochastic-fft", "fft"),
+    ):
+        lmc = InterpolatedLLGP(
+            Xs, Ys, functional_kernel=spec, m=[64], seed=0, mesh=mesh,
+            trace_iterations=16, objective=objective.split("-")[0],
+            grid_mode=grid_mode,
+        )
+        x = jnp.asarray(lmc.param_array, dtype=lmc.dtype)
+        compiled = lmc._jit_grad.lower(
+            x, jax.random.PRNGKey(0), lmc.grid_data, lmc.grid_data32,
+            lmc.y,
+        ).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        hlo = compiled.as_text()
+        out[objective] = {
+            "flops_per_device": float(cost.get("flops", float("nan"))),
+            "collectives": {
+                kind: len(re.findall(r"\b%s(?:-start)?\(" % kind, hlo))
+                for kind in ("all-reduce", "all-gather",
+                             "reduce-scatter", "collective-permute")
+            },
+        }
+    print(json.dumps({"devices": n_dev, "objectives": out}))
+
+
+def run_mesh_analysis():
+    """Partition-efficiency of the sharded training-step programs:
+    FLOP-balance efficiency = (1-device FLOPs) / (8 x per-device FLOPs
+    of the 8-way program). 1.0 = the mesh splits ALL work; below that,
+    the replicated fraction (per-step factorization, parameter-sized
+    ops) bounds scaling. This replaces wall-clock on virtual shared-core
+    devices, which measures nothing (scaling_mesh_r02.json)."""
+    rows = {}
+    for n_dev in (1, 8):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=%d" % n_dev
+        ).strip()
+        env["SCALING_ANALYZE"] = str(n_dev)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        if out.returncode != 0:
+            _log(out.stderr[-2000:])
+            raise RuntimeError("analyze child failed at %d" % n_dev)
+        rows[n_dev] = json.loads(out.stdout.strip().splitlines()[-1])
+        _log("analyzed %d devices" % n_dev)
+    result = {"metric": "mesh_flop_balance", "unit": "efficiency",
+              "physical_note": (
+                  "per-device FLOPs from XLA cost analysis of the "
+                  "compiled SPMD program; wall-clock is not "
+                  "measurable on shared-core virtual devices. Caveat: "
+                  "cost analysis counts a while-loop body ONCE, so the "
+                  "sharded Krylov loop is underweighted relative to "
+                  "one-time replicated setup — treat these numbers as "
+                  "a partition-structure check (how much of the "
+                  "PROGRAM is sharded), and --mode batch on the real "
+                  "TPU as the throughput-scaling evidence"),
+              "objectives": {}}
+    for objective in ("exact", "stochastic", "stochastic-fft"):
+        f1 = rows[1]["objectives"][objective]["flops_per_device"]
+        f8 = rows[8]["objectives"][objective]["flops_per_device"]
+        eff = f1 / (8.0 * f8)
+        result["objectives"][objective] = {
+            "flops_1dev": f1,
+            "flops_per_device_8dev": f8,
+            "flop_balance_efficiency": round(eff, 3),
+            "collectives_8dev":
+                rows[8]["objectives"][objective]["collectives"],
+        }
+    result["value"] = result["objectives"]["stochastic-fft"][
+        "flop_balance_efficiency"]
+    print(json.dumps(result))
+
+
 def main():
     child = os.environ.get("SCALING_CHILD")
     if child:
@@ -183,11 +306,23 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         _mesh_child(int(child))
         return
+    child = os.environ.get("SCALING_ANALYZE")
+    if child:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        _analyze_child(int(child))
+        return
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("batch", "mesh"), default="batch")
+    ap.add_argument(
+        "--mode", choices=("batch", "mesh", "analyze"), default="batch"
+    )
     args = ap.parse_args()
     if args.mode == "batch":
         run_batch_scaling()
+    elif args.mode == "analyze":
+        run_mesh_analysis()
     else:
         run_mesh_scaling()
 
