@@ -302,6 +302,35 @@ def exact_ski_mll(
     return mll, aux
 
 
+def f32_factorization_residual(spec, raw_params, grid_data32, lens, y):
+    """Self-consistency residual ||K~ (K~^-1 y) - y|| / ||y|| of the
+    FLOAT32 Woodbury factorization at the given parameters — the same
+    diagnostic :func:`exact_ski_mll` reports per training step
+    (aux.solve_error). The model's ``objective='auto'`` probes this
+    once at build time: problems whose conditioning already defeats the
+    f32 factorization at the initial parameters (e.g. weather's m=500
+    grid, residual ~0.27 > the calibrated 0.1 threshold) train with
+    the stochastic objective instead, whose model-dtype Krylov solves
+    self-refine; problems that certify (fx2007: ~1e-3) get the
+    deterministic exact objective at f32 speed."""
+    params32 = jax.tree.map(
+        lambda a: jnp.asarray(a, dtype=jnp.float32), raw_params
+    )
+    K32 = build_kski(spec, params32, grid_data32, lens)
+    wb = build_device_woodbury(
+        K32.groups,
+        spec.noise(params32),
+        K32.noise_n,
+        tuple(gd.WtW for gd in grid_data32),
+    )
+    y32 = jnp.asarray(y, dtype=jnp.float32)
+    alpha = wb.solve(y32)
+    r = wb.matvec(alpha) - y32
+    return jnp.linalg.norm(r) / jnp.maximum(
+        jnp.linalg.norm(y32), jnp.asarray(1e-30, jnp.float32)
+    )
+
+
 def stochastic_mll_surrogate(
     spec: LMCKernelSpec,
     raw_params,

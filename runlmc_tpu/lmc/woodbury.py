@@ -256,13 +256,20 @@ def woodbury_precond(wb: DeviceWoodbury):
     scales each residual ROW to O(1) (rows converge at different rates;
     a global scale would crush nearly-converged rows into float32
     denormals), applies the factor in its own (low) precision, and
-    casts back."""
+    casts back.
+
+    Rows whose factor-apply comes back non-finite (a degenerate f32
+    factorization — conditioning past what even escalated jitter can
+    absorb) fall back to the IDENTITY preconditioner: CG then degrades
+    to slow-but-sound unpreconditioned iterations instead of being
+    poisoned by NaNs into returning x=0 with zero gradient."""
 
     def apply(r):
         scale = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
         safe = jnp.where(scale > 0, scale, 1.0)
-        out = wb.solve((r / safe).astype(wb.dtype))
-        return out.astype(r.dtype) * safe
+        out = wb.solve((r / safe).astype(wb.dtype)).astype(r.dtype)
+        ok = jnp.all(jnp.isfinite(out), axis=-1, keepdims=True)
+        return jnp.where(ok, out * safe, r)
 
     return apply
 

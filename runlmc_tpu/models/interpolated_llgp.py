@@ -73,10 +73,14 @@ class InterpolatedLLGP(MultiGP):
         factorized SKI model, differentiated through the per-step
         on-device float32 Woodbury factorization — deterministic,
         probe-free, no Krylov loop (likelihood.exact_ski_mll). 'auto'
-        picks 'exact' whenever every grid group is dense-mode.
-        'stochastic': the reference-parity Hutchinson trace-estimator
-        surrogate with batched solves (the only option for fft-mode
-        grids).
+        picks 'exact' when every grid group is dense-mode AND a
+        build-time probe of the f32 factorization residual at the
+        initial parameters certifies below the calibrated
+        EXACT_RESIDUAL_THRESHOLD (likelihood.
+        f32_factorization_residual); otherwise 'stochastic': the
+        reference-parity Hutchinson trace-estimator surrogate with
+        batched model-dtype solves (always sound; the only option for
+        fft-mode grids).
     :param metrics: record per-step diagnostics incl. exact-gradient
         comparison (slow; parity interpolated_llgp.py:228-244)
     :param mesh: optional ``jax.sharding.Mesh``; when given, the
@@ -232,11 +236,10 @@ class InterpolatedLLGP(MultiGP):
                 "mode (grid_mode='dense', or small enough grids under "
                 "'auto')"
             )
-        self.objective = (
-            objective
-            if objective != "auto"
-            else ("exact" if self.grid_data32 is not None else "stochastic")
-        )
+        # 'auto' objective resolution is deferred until parameters
+        # exist: it PROBES the f32 factorization residual at the
+        # initial parameters (see below).
+        self.objective = objective
         if exact_precision not in ("f32", "model"):
             raise ValueError(
                 "unknown exact_precision %r" % (exact_precision,)
@@ -266,6 +269,38 @@ class InterpolatedLLGP(MultiGP):
         flat, unravel = ravel_pytree(self.params)
         self._unravel = unravel
         self.n_params = flat.shape[0]
+
+        if self.objective == "auto":
+            # Objective auto-selection: the exact (direct-factorization)
+            # objective is the flagship — deterministic, probe-free, one
+            # MXU factorization per step — but it is only sound where
+            # the f32 factorization certifies. Probe its residual once
+            # at the initial parameters: above EXACT_RESIDUAL_THRESHOLD
+            # (calibrated, tests/test_exact_residual.py) the problem's
+            # conditioning already defeats f32 (measured: weather m=500
+            # probes at ~0.27) and training uses the stochastic
+            # objective, whose model-dtype Krylov solves self-refine to
+            # tolerance at any conditioning.
+            if self.grid_data32 is None:
+                self.objective = "stochastic"
+            else:
+                res = float(
+                    jax.jit(
+                        lambda p, g, y: lk.f32_factorization_residual(
+                            self.spec, p, g, self.data.lens, y
+                        )
+                    )(self.params, self.grid_data32, self.y)
+                )
+                self.objective = (
+                    "exact"
+                    if res <= EXACT_RESIDUAL_THRESHOLD
+                    else "stochastic"
+                )
+                _LOG.info(
+                    "objective='auto': f32 factorization probe residual "
+                    "%.2e (threshold %g) -> %s objective",
+                    res, EXACT_RESIDUAL_THRESHOLD, self.objective,
+                )
 
         self._key = jax.random.PRNGKey(seed)
         self._prior_specs = []
@@ -719,10 +754,23 @@ class InterpolatedLLGP(MultiGP):
                 # relative residual. Below EXACT_RESIDUAL_THRESHOLD the
                 # f32 gradient is calibrated-accurate
                 # (tests/test_exact_residual.py); above it the
-                # factorization is degrading (small learned noise), so
-                # ESCALATE the remaining steps to the model-dtype
-                # factorization.
-                if self.exact_precision == "f32":
+                # factorization is degrading (the learned noise has
+                # shrunk past what f32 resolves at this conditioning —
+                # measured on weather: init probe 9.5e-4 but 0.27 by
+                # step ~10), so ESCALATE the remaining steps. The
+                # escalation target is platform-aware: the model-dtype
+                # factorization where the platform factorizes that
+                # dtype natively (CPU f64 — exact gradients, modest
+                # cost), and the stochastic objective where it does not
+                # (TPU f64 is emulated: the f64 factorization program
+                # takes minutes to COMPILE, while the stochastic path's
+                # model-dtype Krylov solves with the f32 factor as
+                # preconditioner self-refine at f32 speed).
+                f64_native = (
+                    self.dtype == jnp.float64
+                    and jax.default_backend() == "cpu"
+                )
+                if self.exact_precision == "f32" and f64_native:
                     _LOG.warning(
                         "exact-objective residual %e exceeded the "
                         "calibrated %g threshold — escalating training "
@@ -732,11 +780,23 @@ class InterpolatedLLGP(MultiGP):
                     )
                     self.exact_precision = "model"
                     self._build_jit()
+                elif self.objective == "exact":
+                    _LOG.warning(
+                        "exact-objective residual %e exceeded the "
+                        "calibrated %g threshold with no affordable "
+                        "higher-precision factorization on this "
+                        "platform (%s) — switching training to the "
+                        "stochastic objective for the remaining steps",
+                        worst, EXACT_RESIDUAL_THRESHOLD,
+                        jax.default_backend(),
+                    )
+                    self.objective = "stochastic"
+                    self._build_jit()
                 else:
                     _LOG.warning(
-                        "exact-objective residual %e exceeds the "
-                        "calibrated %g threshold at model precision — "
-                        "gradients for those steps are inexact",
+                        "solve residual %e exceeds the calibrated %g "
+                        "threshold — gradients for those steps are "
+                        "inexact",
                         worst, EXACT_RESIDUAL_THRESHOLD,
                     )
             return xs, gmss, smss, steps, gns

@@ -123,6 +123,28 @@ def test_illconditioned_prediction_certifies(rng):
     assert all(np.all(v >= 0) for v in vs)
 
 
+def test_auto_objective_probe(rng, monkeypatch):
+    """objective='auto' probes the f32 factorization residual at the
+    initial parameters: certifying problems get the exact objective;
+    when the probe exceeds the threshold (forced here by shrinking the
+    threshold; organically hit by e.g. weather's m=500 grid at ~0.27),
+    training falls back to the always-sound stochastic objective."""
+    import runlmc_tpu.models.interpolated_llgp as mod
+
+    Xs = [np.sort(rng.uniform(0, 2 * np.pi, (40, 1)), axis=0)
+          for _ in range(2)]
+    Ys = [np.sin(X[:, 0]) + 0.05 * rng.standard_normal(40) for X in Xs]
+    spec = LMCKernelSpec.create(
+        D=2, lmc_kernels=[RBF(name="k")], lmc_ranks=[1]
+    )
+    m = InterpolatedLLGP(Xs, Ys, functional_kernel=spec, m=[16], seed=1)
+    assert m.objective == "exact"  # well-conditioned: probe certifies
+
+    monkeypatch.setattr(mod, "EXACT_RESIDUAL_THRESHOLD", 1e-12)
+    m2 = InterpolatedLLGP(Xs, Ys, functional_kernel=spec, m=[16], seed=1)
+    assert m2.objective == "stochastic"  # probe cannot certify
+
+
 def test_escalation_on_bad_residual(rng):
     """When a chunk's worst residual exceeds the threshold, training
     auto-escalates to exact_precision='model' and finishes with
@@ -142,3 +164,33 @@ def test_escalation_on_bad_residual(rng):
     info = m32.optimize(optimizer=AdaDelta(max_it=4))
     assert m32.exact_precision == "model"
     assert info["n_iter"] == 4
+
+
+def test_escalation_targets_stochastic_without_native_f64(
+    rng, monkeypatch
+):
+    """On platforms that EMULATE the model dtype (TPU f64), escalation
+    retargets the stochastic objective — whose model-dtype Krylov
+    solves self-refine using the f32 factor as preconditioner — instead
+    of a model-dtype factorization whose compile alone takes minutes
+    (the weather benchmark's failure mode)."""
+    from runlmc_tpu import AdaDelta
+
+    m32, _ = _models(rng)
+    params = dict(m32.params)
+    params["noise"] = jnp.asarray(
+        POSITIVE.inverse(1e-6 * np.ones(2)), dtype=m32.dtype
+    )
+    m32.set_params(params)
+    _, res = _grad_at_noise(m32, 1e-6)
+    if res <= EXACT_RESIDUAL_THRESHOLD:
+        pytest.skip("1e-6 noise did not break f32 on this platform")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    info = m32.optimize(optimizer=AdaDelta(max_it=14))
+    assert m32.objective == "stochastic"
+    assert info["n_iter"] == 14
+    # post-escalation chunks ran the Krylov path (iteration counts
+    # appear; the forced cond~1e9 system is beyond ANY solver at
+    # maxiter=n — reference parity is to log and continue)
+    assert info["mean_solve_iters"] > 0
+    assert np.all(np.isfinite(m32.param_array))
