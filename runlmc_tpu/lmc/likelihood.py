@@ -385,8 +385,12 @@ def stochastic_mll_surrogate(
         )
 
         def solver_call(b):
+            # inner CG cycles at f32 MXU speed (K32 matvec + f32
+            # Woodbury preconditioner); only the outer true-residual
+            # refinement pays a model-dtype matvec per cycle
             return woodbury_pcg(K_ng.matvec, wb, b, tol=tol,
-                                maxiter=maxiter)
+                                maxiter=maxiter,
+                                inner_matvec=K32.matvec)
 
     else:
         solver = batched_minres if method == "minres" else batched_cg

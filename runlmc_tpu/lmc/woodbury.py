@@ -275,13 +275,27 @@ def woodbury_precond(wb: DeviceWoodbury):
 
 
 def woodbury_pcg(matvec, wb: DeviceWoodbury, b, tol, maxiter=None,
-                 cycle=10):
-    """Solve ``K x = b`` (batched over leading axis) by CG in ``b``'s
-    precision, preconditioned with a (typically float32) direct Woodbury
-    factor. With the factor near-exact this converges in a handful of
-    iterations; the outer refinement cycles (every ``cycle`` iterations)
-    recompute true residuals and keep the best iterate (ops/solvers.py).
+                 cycle=10, inner_matvec=None):
+    """Solve ``K x = b`` (batched over leading axis) by CG
+    preconditioned with a (typically float32) direct Woodbury factor.
+    With the factor near-exact this converges in a handful of
+    iterations; the outer refinement cycles (every ``cycle``
+    iterations) recompute true residuals and keep the best iterate
+    (ops/solvers.py).
+
+    ``inner_matvec``: optional operator apply AT THE FACTOR'S dtype.
+    When given, the CG cycles run entirely in that (f32, MXU-speed)
+    precision on the downcast residual and only the outer
+    true-residual recomputation pays a ``b``-dtype matvec — ~one
+    emulated-f64 matvec per cycle instead of one per iteration on TPU,
+    while outer refinement still drives the TRUE residual to ``tol``.
     """
+    if inner_matvec is not None and b.dtype != wb.dtype:
+        return batched_cg(
+            matvec, b, tol=tol, maxiter=maxiter,
+            precond=woodbury_precond(wb), cycle=cycle,
+            inner_matvec=inner_matvec, inner_dtype=wb.dtype,
+        )
     return batched_cg(
         matvec, b, tol=tol, maxiter=maxiter, precond=woodbury_precond(wb),
         cycle=cycle,

@@ -520,14 +520,24 @@ class InterpolatedLLGP(MultiGP):
             )
 
         @jax.jit
-        def wb_pcg_solve_fn(params, grid_data, wb, rhs):
-            """Batched K^-1 rhs at the MODEL dtype: CG on the exact
-            operator preconditioned by a (typically f32) Woodbury
-            factor — every row's TRUE residual is driven below ``tol``
-            and returned (self-certifying, unlike a raw factorized
-            solve)."""
+        def wb_pcg_solve_fn(params, grid_data, grid_data32, wb, rhs):
+            """Batched K^-1 rhs at the MODEL dtype: CG preconditioned
+            by a (typically f32) Woodbury factor — every row's TRUE
+            residual is driven below ``tol`` and returned
+            (self-certifying, unlike a raw factorized solve). Inner
+            cycles run at f32 MXU speed when f32 grid artifacts exist;
+            only the per-cycle outer residual pays a model-dtype
+            matvec."""
             K = build_kski(spec, params, grid_data, lens)
-            res = woodbury_pcg(K.matvec, wb, rhs, tol=tol, maxiter=n)
+            inner = None
+            if grid_data32 is not None and wb.dtype == jnp.float32:
+                params32 = jax.tree.map(
+                    lambda a: jnp.asarray(a, dtype=jnp.float32), params
+                )
+                K32 = build_kski(spec, params32, grid_data32, lens)
+                inner = K32.matvec
+            res = woodbury_pcg(K.matvec, wb, rhs, tol=tol, maxiter=n,
+                               inner_matvec=inner)
             return res.x, res.iterations, res.error
 
         @jax.jit
@@ -545,6 +555,28 @@ class InterpolatedLLGP(MultiGP):
                 K.matvec, n, key, n_probes=max(n_probes, 15), k=40,
                 dtype=dtype,
             )
+
+        @jax.jit
+        def krylov_solve_fn(params, grid_data, grid_data32, rhs):
+            """Long plain Krylov fallback (escalation rung 2 where
+            model-dtype factorizations are unaffordable): MINRES with
+            the full maxiter=n budget, mixed-precision inner cycles
+            when f32 grid artifacts exist."""
+            K = build_kski(spec, params, grid_data, lens)
+            inner = None
+            inner_dtype = None
+            if grid_data32 is not None and rhs.dtype != jnp.float32:
+                params32 = jax.tree.map(
+                    lambda a: jnp.asarray(a, dtype=jnp.float32), params
+                )
+                K32 = build_kski(spec, params32, grid_data32, lens)
+                inner = K32.matvec
+                inner_dtype = jnp.float32
+            res = batched_minres(
+                K.matvec, rhs, tol=tol, maxiter=n,
+                inner_matvec=inner, inner_dtype=inner_dtype,
+            )
+            return res.x, res.iterations, res.error
 
         @jax.jit
         def kski_fn(params, grid_data):
@@ -634,6 +666,7 @@ class InterpolatedLLGP(MultiGP):
         self._jit_woodbury = woodbury_fn
         self._jit_woodbury32 = woodbury32_fn
         self._jit_wb_pcg_solve = wb_pcg_solve_fn
+        self._jit_krylov_solve = krylov_solve_fn
         self._jit_slq_logdet = slq_logdet_fn
         self._jit_kski = kski_fn
         self._jit_grid_alpha = grid_alpha_fn
@@ -904,28 +937,54 @@ class InterpolatedLLGP(MultiGP):
 
     def _solve_certified(self, rhs, what):
         """K^-1 rhs (batched, model dtype) with an auto-escalating
-        preconditioner ladder: f32 Woodbury-preconditioned CG (true
-        residuals checked every cycle) -> model-dtype Woodbury
-        preconditioner -> CRITICAL log with the best iterate (parity
-        with the reference's tolerated MINRES non-convergence,
-        iterative.py:54-58). Returns (solutions, worst abs residual).
-        Records per-call diagnostics in ``self.prediction_report``."""
+        solver ladder, every rung checking TRUE residuals:
+
+        1. f32-Woodbury-preconditioned CG (inner cycles at f32 MXU
+           speed, model-dtype outer refinement);
+        2. on stall — where the platform factorizes the model dtype
+           natively (CPU f64), the model-dtype Woodbury preconditioner;
+           elsewhere (TPU: f64 factorization programs take minutes to
+           COMPILE) a long plain Krylov solve, compile-bounded;
+        3. CRITICAL log with the best iterate (parity with the
+           reference's tolerated MINRES non-convergence,
+           iterative.py:54-58).
+
+        Returns (solutions, worst abs residual); per-call diagnostics
+        recorded in ``self.prediction_report``."""
         x, iters, err = self._jit_wb_pcg_solve(
-            self.params, self.grid_data, self._woodbury32(), rhs
+            self.params, self.grid_data, self.grid_data32,
+            self._woodbury32(), rhs
         )
         worst = float(jnp.max(err))
         escalated = False
         if worst > self.tolerance:
             escalated = True
-            _LOG.warning(
-                "%s: f32-preconditioned solve stalled at residual %e "
-                "(tolerance %g) — escalating to the model-dtype "
-                "factorization",
-                what, worst, self.tolerance,
+            f64_native = (
+                self.dtype == jnp.float64
+                and jax.default_backend() == "cpu"
             )
-            x, iters, err = self._jit_wb_pcg_solve(
-                self.params, self.grid_data, self._woodbury(), rhs
-            )
+            if f64_native:
+                _LOG.warning(
+                    "%s: f32-preconditioned solve stalled at residual "
+                    "%e (tolerance %g) — escalating to the model-dtype "
+                    "factorization",
+                    what, worst, self.tolerance,
+                )
+                x, iters, err = self._jit_wb_pcg_solve(
+                    self.params, self.grid_data, None,
+                    self._woodbury(), rhs
+                )
+            else:
+                _LOG.warning(
+                    "%s: f32-preconditioned solve stalled at residual "
+                    "%e (tolerance %g) — escalating to a full Krylov "
+                    "solve (model-dtype factorization unaffordable on "
+                    "%s)",
+                    what, worst, self.tolerance, jax.default_backend(),
+                )
+                x, iters, err = self._jit_krylov_solve(
+                    self.params, self.grid_data, self.grid_data32, rhs
+                )
             worst = float(jnp.max(err))
         if worst > self.tolerance:
             _LOG.critical(
