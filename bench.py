@@ -91,7 +91,19 @@ def build_weather(m=None):
     )
     # optimizer opts: reference weather.py:24 passes only verbosity ->
     # AdaDelta defaults (min_grad_ratio=0.1)
-    return xss, yss, test_xss, test_yss, spec, [m or 500], {}, {}
+    #
+    # objective='stochastic' EXPLICITLY: the reference protocol trains
+    # weather with the 15-probe stochastic estimator, and its published
+    # quality depends on that trajectory — the deterministic exact
+    # objective optimizes the MLL harder and lands on an overconfident
+    # optimum (measured on CPU f64: NLPD 21.4 vs the stochastic path's
+    # 1.4 at comparable SMSE; the reference reports 1.72). fx2007 and
+    # synth show no such gap, so they keep the exact objective. On TPU
+    # the auto policy would land on stochastic anyway (the f32
+    # factorization residual blows past the calibrated threshold by
+    # ~step 10); pinning it here skips the wasted exact phase.
+    return (xss, yss, test_xss, test_yss, spec, [m or 500], {},
+            {"objective": "stochastic"})
 
 
 def build_synth(m=None):

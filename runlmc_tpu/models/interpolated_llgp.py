@@ -1053,15 +1053,22 @@ class InterpolatedLLGP(MultiGP):
 
     def ski_log_det(self):
         """Log det of the SKI covariance, never materializing an
-        (n, n) matrix. Dense grid mode: the matrix determinant lemma on
-        the on-device Woodbury factorization — exact up to the
-        factorization's relative-1e-12 Cholesky jitter. FFT grid mode:
-        a stochastic Lanczos quadrature ESTIMATE (ops/slq.py,
-        deterministic probes per parameter setting). The reference has
-        no fast-logdet path (its roadmap lists Lanczos logdet,
-        reference README.md:86); it reports the O(n^3) dense-kernel
-        logdet instead."""
-        if self._all_dense:
+        (n, n) matrix. Dense grid mode on platforms that factorize the
+        model dtype natively (CPU f64, or f32 models anywhere): the
+        matrix determinant lemma on the on-device Woodbury
+        factorization — exact up to the factorization's relative-1e-12
+        Cholesky jitter. Otherwise (TPU f64 models, where the
+        factorization program is unaffordable to compile) and in FFT
+        grid mode: a stochastic Lanczos quadrature ESTIMATE
+        (ops/slq.py, deterministic probes per parameter setting, only
+        model-dtype MATVECS). The reference has no fast-logdet path
+        (its roadmap lists Lanczos logdet, reference README.md:86); it
+        reports the O(n^3) dense-kernel logdet instead."""
+        f64_native = (
+            self.dtype != jnp.float64
+            or jax.default_backend() == "cpu"
+        )
+        if self._all_dense and f64_native:
             return float(self._woodbury().logdet)
         if "slq_logdet" not in self._cache:
             self._cache["slq_logdet"] = float(
