@@ -174,10 +174,19 @@ class DeviceWoodbury(NamedTuple):
 
 
 def build_device_woodbury(
-    groups, noise_eps, noise_n, wtw, jitter=(1e-6, 1e-4, 1e-2),
-    c_jitter=(0.0, 1e-6, 1e-3),
+    groups, noise_eps, noise_n, wtw, jitter=(1e-6, 1e-4, 1e-2, 1e-1),
+    c_jitter=(0.0, 1e-6, 1e-3, 1e-1),
 ):
     """Factor the SKI covariance entirely on device (jittable).
+
+    The DEFAULT jitter ladders extend to 1e-1 relative: at
+    conditioning that defeats f32 even at 1e-2/1e-3 jitter (weather
+    late in training), a heavily-jittered factor is a crude but FINITE
+    preconditioner — outer PCG refinement against the exact operator
+    still contracts, where a NaN factor would force the identity
+    fallback and stall. Callers factorizing for an OBJECTIVE (where
+    jitter perturbs the model being trained, exact_ski_mll) pass their
+    own tighter ladders.
 
     :param groups: dense-mode ``GroupState`` tuple (``KUU_dense`` and
         ``W_blocks`` set — grid.py).

@@ -199,6 +199,41 @@ def test_model_dense_predictions_match_fft_krylov(rng, prediction):
         np.testing.assert_allclose(va, vb, atol=1e-5)
 
 
+def test_mixed_precision_pcg_certifies(rng):
+    """woodbury_pcg with inner f32 cycles (inner_matvec at the factor's
+    dtype) must certify the SAME true-residual tolerance as the
+    all-model-dtype solve — the outer refinement guarantees accuracy,
+    the inner dtype only changes per-iteration cost."""
+    import jax
+
+    spec = _spec().with_input_dim(1)
+    Xs = [np.sort(rng.uniform(0, 1, (30, 1)), axis=0) for _ in range(3)]
+    params = jax.tree.map(jnp.asarray, spec.init_raw_params(seed=0))
+    grids, _ = make_grids(spec, Xs, m=[16], mode="dense")
+    grids = tuple(grids)
+    grids32 = to_dense_f32(grids)
+    lens = (30, 30, 30)
+    K = build_kski(spec, params, grids, lens)
+    params32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    K32 = build_kski(spec, params32, grids32, lens)
+    wb32 = build_device_woodbury(
+        K32.groups, spec.noise(params32), K32.noise_n,
+        tuple(g.WtW for g in grids32),
+    )
+    b = jnp.asarray(rng.standard_normal((4, 90)))
+    assert b.dtype == jnp.float64
+    tol = 1e-9
+    res_plain = woodbury_pcg(K.matvec, wb32, b, tol=tol)
+    res_mixed = woodbury_pcg(K.matvec, wb32, b, tol=tol,
+                             inner_matvec=K32.matvec)
+    assert bool(res_plain.converged.all())
+    assert bool(res_mixed.converged.all())
+    # true residuals, recomputed independently
+    for res in (res_plain, res_mixed):
+        r = np.asarray(K.matvec(res.x)) - np.asarray(b)
+        assert np.linalg.norm(r, axis=-1).max() < 10 * tol
+
+
 def test_ski_log_likelihood_close_to_hybrid(rng):
     Xs = [np.sort(rng.uniform(0, 1, (45, 1)), axis=0) for _ in range(2)]
     Ys = [np.sin(5 * X[:, 0]) + 0.1 * rng.standard_normal(45) for X in Xs]
