@@ -43,13 +43,18 @@ _LOG = logging.getLogger(__name__)
 # solve relative residual at which the float32 exact gradient is still
 # trustworthy. CALIBRATED by tests/test_exact_residual.py, which sweeps
 # conditioning (noise 1e-1..1e-6) and measures the f32 gradient's
-# cosine/relative error against the f64 exact-SKI gradient: residuals
-# up to ~0.1 keep cosine >= 0.995 and relative error <= 10% — far
-# below the reference's own 15-probe stochastic-estimator error
-# (0.005-0.1 relative, reference grad-grid/out/extracted_summary.csv).
-# Chunks whose worst residual exceeds this escalate training to
-# exact_precision='model'.
-EXACT_RESIDUAL_THRESHOLD = 0.1
+# cosine/relative error against the f64 exact-SKI gradient: residual
+# 2e-2 keeps the gradient within 0.4% (cosine 0.999994); 0.38 is 12%
+# off (cosine 0.993). 0.25 therefore bounds the gradient error at
+# roughly the top of the reference's OWN 15-probe stochastic-estimator
+# error band (0.6-10% relative, reference
+# grad-grid/out/extracted_summary.csv) — training tolerates it by
+# construction (AdaDelta + the rolling-max stop rule are designed for
+# estimator noise), and the synth benchmark confirms it empirically
+# (exact training at residual ~0.22 reproduces reference quality,
+# SMSE 0.1246 vs 0.1244). Chunks whose worst residual exceeds this
+# escalate (platform-aware, see optimize()).
+EXACT_RESIDUAL_THRESHOLD = 0.25
 
 
 class InterpolatedLLGP(MultiGP):
