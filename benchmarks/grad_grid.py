@@ -117,9 +117,17 @@ def run_kernel(kern_name, n, D, r, seed=0):
     gw_np = -np.asarray(gw, dtype=float)  # wb_grad minimizes -mll
     rel_l1 = np.abs(gs_np - ge_np).sum() / np.abs(ge_np).sum()
     rel_l1_wb = np.abs(gw_np - ge_np).sum() / np.abs(ge_np).sum()
-    # alpha accuracy vs dense solve of the SKI operator
-    K_exact = lk.exact_dense_K(spec, params, X, oidx)
-    alpha_exact = np.linalg.solve(np.asarray(K_exact), np.asarray(y))
+
+    # alpha accuracy vs the dense exact solve — ON DEVICE: pulling the
+    # (n, n) kernel over the tunneled transport costs minutes at
+    # n=5000 (~200 MB at <1 MB/s); only the (n,) solution crosses
+    @jax.jit
+    def dense_alpha(p):
+        K_exact = lk.exact_dense_K(spec, p, X, oidx)
+        with jax.default_matmul_precision("highest"):
+            return jnp.linalg.solve(K_exact, y)
+
+    alpha_exact = np.asarray(dense_alpha(params))
     rel_alpha = np.linalg.norm(
         np.asarray(alpha) - alpha_exact
     ) / np.linalg.norm(alpha_exact)

@@ -47,15 +47,21 @@ def run_config(D, R, Q, n, seed=0):
     y = jnp.asarray(data.y, dtype=jnp.float32)
 
     out = {}
-    # dense Cholesky baseline
+    # dense Cholesky baseline (jitted + warmed like the reps: the
+    # comparison is solve wall-clock, not XLA compile time)
+    X_j = jnp.asarray(data.X, jnp.float32)
+    oidx_j = jnp.asarray(data.output_idx)
+
+    @jax.jit
+    def chol_solve(p, X, oidx, y):
+        K = lk.exact_dense_K(spec, p, X, oidx)
+        with jax.default_matmul_precision("highest"):
+            L = jnp.linalg.cholesky(K)
+            return jax.scipy.linalg.cho_solve((L, True), y)
+
+    jax.block_until_ready(chol_solve(params, X_j, oidx_j, y))
     t0 = time.time()
-    K = lk.exact_dense_K(
-        spec, params, jnp.asarray(data.X, jnp.float32),
-        jnp.asarray(data.output_idx),
-    )
-    L = jnp.linalg.cholesky(K)
-    sol = jax.scipy.linalg.cho_solve((L, True), y)
-    jax.block_until_ready(sol)
+    jax.block_until_ready(chol_solve(params, X_j, oidx_j, y))
     out["chol"] = time.time() - t0
 
     for rep in ["sum", "bt", "slfm"]:

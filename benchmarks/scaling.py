@@ -75,7 +75,7 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
 
     results = []
     base = None
-    for B in (1, 2, 4, 8, 16, 32, 64):
+    for B in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
         b = jnp.asarray(rng.standard_normal((B, ntot)))
         x, it = solve(params, grids, grids32, b)  # compile
         float(jnp.sum(x))
@@ -99,9 +99,13 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
     # measured single-chip t(B/8) — efficiency = t(B) / (8 t(B/8)).
     # This is the honest real-hardware stand-in for the >=80% scaling
     # north star while only one physical chip is reachable.
+    # eff = t(B) / (8 t(B/8)): ~1 once the chip is SATURATED (t linear
+    # in B); well below 1 in the unsaturated regime, where one chip
+    # absorbs the whole batch in constant time and sharding simply
+    # isn't needed — the curve itself shows which regime each B is in.
     derived = {
         "8x@B=%d" % B: round(times[B] / (8 * times[B // 8]), 3)
-        for B in (8, 16, 32, 64)
+        for B in (8, 16, 32, 64, 128, 256, 512)
         if B in times and B // 8 in times
     }
     print(json.dumps({
@@ -318,9 +322,16 @@ def main():
     ap.add_argument(
         "--mode", choices=("batch", "mesh", "analyze"), default="batch"
     )
+    ap.add_argument("--n", type=int, default=3054)
+    ap.add_argument(
+        "--m", type=int, default=238,
+        help="grid points per output; larger m raises per-solve work "
+        "until one chip SATURATES — the regime where mesh sharding "
+        "pays and the derived 8x efficiency is meaningful",
+    )
     args = ap.parse_args()
     if args.mode == "batch":
-        run_batch_scaling()
+        run_batch_scaling(n=args.n, m=args.m)
     elif args.mode == "analyze":
         run_mesh_analysis()
     else:
