@@ -44,12 +44,18 @@ def run_config(D, R, Q, n, seed=0):
     ).with_input_dim(1)
     params = jax.tree.map(jnp.asarray, spec.init_raw_params(seed=seed))
     data = lk.flatten_data(Xs, Ys)
-    y = jnp.asarray(data.y, dtype=jnp.float32)
+    # follow the x64 setting: the reference protocol is f64 with an
+    # ABSOLUTE residual tolerance 1e-4 (iterative.py:36-42); f32
+    # stalls above it on the harder configs (TPU fft mode is f32 —
+    # the recorded run is CPU f64, matching the reference's own
+    # 1-thread-CPU protocol for this table)
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    y = jnp.asarray(data.y, dtype=dt)
 
     out = {}
     # dense Cholesky baseline (jitted + warmed like the reps: the
     # comparison is solve wall-clock, not XLA compile time)
-    X_j = jnp.asarray(data.X, jnp.float32)
+    X_j = jnp.asarray(data.X, dt)
     oidx_j = jnp.asarray(data.output_idx)
 
     @jax.jit
