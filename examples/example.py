@@ -32,8 +32,15 @@ def main():
         lmc_kernels=[RBF(name="rbf0"), RBF(name="rbf1")],
         lmc_ranks=[1, 1],
     )
+    # tolerance 1e-3: the reference default (1e-4 absolute) assumes f64;
+    # without x64 enabled the model runs float32, whose refinement floor
+    # sits just above 1e-4 on this system — request what the dtype can
+    # certify
+    import jax
+
+    tol = 1e-4 if jax.config.jax_enable_x64 else 1e-3
     lmc = InterpolatedLLGP([X0, X1], [Y0, Y1], functional_kernel=spec,
-                           seed=0)
+                           seed=0, tolerance=tol)
     print("objective:", lmc.objective)
     print("log-likelihood before fit: %.2f" % lmc.log_likelihood())
 

@@ -16,10 +16,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_bench_validate_fx2007():
+@pytest.mark.parametrize("name", ["fx2007", "weather", "synth"])
+def test_bench_validate(name):
     import bench
 
-    r = bench.run_validate("fx2007")
+    r = bench.run_validate(name)
     # run_validate already asserts quality sanity; re-check shape here
     assert np.isfinite(r["nlpd"])
-    assert r["iters"] <= bench.VALIDATE["fx2007"]["max_it"]
+    assert r["iters"] <= bench.VALIDATE[name]["max_it"]
