@@ -777,6 +777,11 @@ class InterpolatedLLGP(MultiGP):
             chunk_stats["iters"].extend(np.asarray(iters, float))
             chunk_stats["errors"].extend(np.asarray(errs, float))
             worst = float(np.max(np.asarray(errs, dtype=float)))
+            if not np.isfinite(worst):
+                # NaN residual = NaN objective/factorization; a NaN
+                # compares False against every threshold, so treat it
+                # as an unconditional breach
+                worst = float("inf")
             if self.objective == "stochastic":
                 # Krylov solves are refined to `tolerance`; anything
                 # above it means the solver genuinely stalled.
@@ -961,6 +966,8 @@ class InterpolatedLLGP(MultiGP):
             self._woodbury32(), rhs
         )
         worst = float(jnp.max(err))
+        if not np.isfinite(worst):
+            worst = float("inf")  # NaN compares False vs thresholds
         escalated = False
         if worst > self.tolerance:
             escalated = True
