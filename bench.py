@@ -68,8 +68,11 @@ def build_fx2007(m=None):
         D=len(xss), lmc_kernels=[RBF(name="rbf0")], lmc_ranks=[2]
     )
     # optimizer opts: reference benchmarks/asv/fx2007/fx2007.py:25
+    # objective pinned (the auto-probe would pick 'exact' anyway —
+    # measured init residual 7.6e-6 — but pinning keeps the probe's
+    # one-off compile out of the benchmark's model-build phase)
     return (xss, yss, test_xss, test_yss, spec, [m or 234],
-            {"min_grad_ratio": 0.2}, {})
+            {"min_grad_ratio": 0.2}, {"objective": "exact"})
 
 
 def build_weather(m=None):
@@ -117,9 +120,12 @@ def build_synth(m=None):
         indep_gp=[RBF(name="rbf%d" % i) for i in range(len(xss))],
     )
     mm = m or 25
-    # reference synth.py:53-55: default optimizer opts, tolerance=1e-3
+    # reference synth.py:53-55: default optimizer opts, tolerance=1e-3.
+    # objective pinned 'exact' (certifies: training residuals ~0.22,
+    # below the calibrated 0.25 threshold, at reference-parity quality
+    # — synth_r03.json)
     return (xss, yss, test_xss, test_yss, spec, [mm, mm],
-            {}, {"tolerance": 1e-3})
+            {}, {"tolerance": 1e-3, "objective": "exact"})
 
 
 BUILDERS = {

@@ -289,12 +289,16 @@ class InterpolatedLLGP(MultiGP):
             if self.grid_data32 is None:
                 self.objective = "stochastic"
             else:
+                # EAGER, not one jitted program: op-by-op dispatch keeps
+                # each compiled piece small and cross-process cacheable
+                # — a single fused probe program measured minutes to
+                # compile cold through the tunneled-TPU transport,
+                # dominating model construction
                 res = float(
-                    jax.jit(
-                        lambda p, g, y: lk.f32_factorization_residual(
-                            self.spec, p, g, self.data.lens, y
-                        )
-                    )(self.params, self.grid_data32, self.y)
+                    lk.f32_factorization_residual(
+                        self.spec, self.params, self.grid_data32,
+                        self.data.lens, self.y,
+                    )
                 )
                 self.objective = (
                     "exact"
