@@ -969,9 +969,12 @@ class InterpolatedLLGP(MultiGP):
             self.params, self.grid_data, self.grid_data32,
             self._woodbury32(), rhs
         )
-        worst = float(jnp.max(err))
-        if not np.isfinite(worst):
-            worst = float("inf")  # NaN compares False vs thresholds
+        def _worst(e):
+            w = float(jnp.max(e))
+            # NaN compares False vs thresholds — treat as a breach
+            return w if np.isfinite(w) else float("inf")
+
+        worst = _worst(err)
         escalated = False
         if worst > self.tolerance:
             escalated = True
@@ -986,7 +989,7 @@ class InterpolatedLLGP(MultiGP):
                     "factorization",
                     what, worst, self.tolerance,
                 )
-                x, iters, err = self._jit_wb_pcg_solve(
+                x2, it2, err2 = self._jit_wb_pcg_solve(
                     self.params, self.grid_data, None,
                     self._woodbury(), rhs
                 )
@@ -998,10 +1001,13 @@ class InterpolatedLLGP(MultiGP):
                     "%s)",
                     what, worst, self.tolerance, jax.default_backend(),
                 )
-                x, iters, err = self._jit_krylov_solve(
+                x2, it2, err2 = self._jit_krylov_solve(
                     self.params, self.grid_data, self.grid_data32, rhs
                 )
-            worst = float(jnp.max(err))
+            # keep whichever rung certified better
+            if _worst(err2) <= worst:
+                x, iters, err = x2, it2, err2
+                worst = _worst(err2)
         if worst > self.tolerance:
             _LOG.critical(
                 "%s (n = %d) did not converge: reconstruction error %e",
