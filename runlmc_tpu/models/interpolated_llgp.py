@@ -1241,11 +1241,20 @@ class InterpolatedLLGP(MultiGP):
                 self.params, Xt, ot, test_interps, self.grid_data,
                 self.X, self.oidx, self.y,
             )
-            if float(err) > self.tolerance:
+            worst = float(err)
+            if not np.isfinite(worst):
+                worst = float("inf")
+            if worst > self.tolerance:
                 _LOG.warning(
                     "prediction alpha solve residual %e above tolerance",
-                    float(err),
+                    worst,
                 )
+            self.prediction_report["predict-otf"] = {
+                "residual": worst,
+                "iterations": float("nan"),
+                "escalated": False,
+                "rhs": 1 + sum(lens),
+            }
             mean, var = np.asarray(mean), np.asarray(var)
         else:
             alpha = self._alpha()
