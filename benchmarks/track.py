@@ -56,6 +56,12 @@ def record_file(path):
 
 
 def run_validate_tracking():
+    # validate scale is a CI smoke — pin CPU so the tracking run never
+    # occupies (or queues behind) the TPU; full-scale numbers arrive
+    # via --record from real bench.py runs
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import bench
 
     commit = _commit()
