@@ -173,7 +173,21 @@ def run_once(name, seed, m=None, subsample=None, max_it=100):
     t0 = time.time()
     key_before = lmc._key
     x_before = lmc.param_array.copy()
+    # the warmup step can trigger auto-escalation side effects
+    # (objective -> 'stochastic', exact_precision -> 'model'); restore
+    # the configuration along with params/RNG so the timed run measures
+    # exactly the pinned configuration, and log if a breach fired
+    obj_before, prec_before = lmc.objective, lmc.exact_precision
     lmc.optimize(optimizer=AdaDelta(max_it=1))
+    if (lmc.objective, lmc.exact_precision) != (obj_before, prec_before):
+        _log(
+            "warmup step escalated (%s/%s -> %s/%s); restoring pinned "
+            "configuration for the timed run"
+            % (obj_before, prec_before, lmc.objective,
+               lmc.exact_precision)
+        )
+        lmc.objective, lmc.exact_precision = obj_before, prec_before
+        lmc._build_jit()
     lmc.param_array = x_before
     lmc._key = key_before
     _log("jit warmup %.1fs" % (time.time() - t0))

@@ -307,12 +307,20 @@ def f32_factorization_residual(spec, raw_params, grid_data32, lens, y):
     FLOAT32 Woodbury factorization at the given parameters — the same
     diagnostic :func:`exact_ski_mll` reports per training step
     (aux.solve_error). The model's ``objective='auto'`` probes this
-    once at build time: problems whose conditioning already defeats the
-    f32 factorization at the initial parameters (e.g. weather's m=500
-    grid, residual ~0.27 > the calibrated 0.1 threshold) train with
-    the stochastic objective instead, whose model-dtype Krylov solves
-    self-refine; problems that certify (fx2007: ~1e-3) get the
-    deterministic exact objective at f32 speed."""
+    once at build time and compares against the calibrated
+    EXACT_RESIDUAL_THRESHOLD = 0.25 (tests/test_exact_residual.py):
+    problems whose conditioning already defeats the f32 factorization
+    at the INITIAL parameters train with the stochastic objective,
+    whose model-dtype Krylov solves self-refine; problems that certify
+    (fx2007: ~7.6e-6; weather m=500: ~9.5e-4 — weather certifies at
+    init and only breaches by ~optimizer step 10, where the
+    IN-TRAINING escalation in InterpolatedLLGP.optimize catches it)
+    get the deterministic exact objective at f32 speed.
+
+    The probe factorizes with the SAME tight jitter ladders the exact
+    objective trains with (exact_ski_mll defaults) — a laxer ladder
+    would let a heavily-jittered probe factor under-report the residual
+    the training path will actually see at marginal conditioning."""
     params32 = jax.tree.map(
         lambda a: jnp.asarray(a, dtype=jnp.float32), raw_params
     )
@@ -322,6 +330,8 @@ def f32_factorization_residual(spec, raw_params, grid_data32, lens, y):
         spec.noise(params32),
         K32.noise_n,
         tuple(gd.WtW for gd in grid_data32),
+        jitter=(1e-6, 1e-4, 1e-2),
+        c_jitter=(0.0, 1e-6, 1e-3),
     )
     y32 = jnp.asarray(y, dtype=jnp.float32)
     alpha = wb.solve(y32)

@@ -282,10 +282,13 @@ class InterpolatedLLGP(MultiGP):
             # the f32 factorization certifies. Probe its residual once
             # at the initial parameters: above EXACT_RESIDUAL_THRESHOLD
             # (calibrated, tests/test_exact_residual.py) the problem's
-            # conditioning already defeats f32 (measured: weather m=500
-            # probes at ~0.27) and training uses the stochastic
-            # objective, whose model-dtype Krylov solves self-refine to
-            # tolerance at any conditioning.
+            # conditioning already defeats f32 at the INITIAL
+            # parameters and training uses the stochastic objective,
+            # whose model-dtype Krylov solves self-refine to tolerance
+            # at any conditioning. (The probe certifies init-time
+            # conditioning only — weather m=500 probes at ~9.5e-4 and
+            # passes, then degrades to ~0.27 by optimizer step 10; the
+            # in-training escalation below catches that case.)
             if self.grid_data32 is None:
                 self.objective = "stochastic"
             else:

@@ -81,6 +81,16 @@ def initialize(coordinator_address=None, num_processes=None,
             "configured) — distributed runtime not started"
         )
         return False
+    if explicit and process_id is None and jax.default_backend() != "tpu":
+        # Only TPU pods can auto-detect the process index;
+        # jax.distributed.initialize(process_id=None) elsewhere fails
+        # with an opaque error deep in the rendezvous. Name the missing
+        # knob of the documented COORD/NPROC/PROC_ID recipe instead.
+        raise ValueError(
+            "parallel.initialize: COORD/NPROC set but no process id — "
+            "set PROC_ID=<i> (or pass process_id=) on non-TPU "
+            "platforms, which cannot auto-detect the process index"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
