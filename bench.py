@@ -306,6 +306,12 @@ def main():
     baseline = BASELINES[args.benchmark]
     if args.benchmark == "weather" and args.m == 1000:
         baseline = 90.46  # the reference's m=1000 row (BASELINE.md)
+    elif args.benchmark == "weather" and (args.m or 0) > 1000:
+        # no published reference row beyond m=1000; compare against the
+        # LARGEST published weather baseline (m=1000, 90.46 s) and let
+        # the JSON say so — the reference's BTTB cost grows ~m log m,
+        # so this undercounts the true m-matched baseline
+        baseline = 90.46
     out = {
         "metric": "%s_train_s" % args.benchmark,
         "value": round(float(train.mean()), 3),
@@ -313,6 +319,7 @@ def main():
         # speedup factor over the reference CPU baseline (>1 = faster)
         "vs_baseline": round(baseline / float(train.mean()), 3),
         "baseline_s": baseline,
+        "m": args.m,
         "train_se": round(float(train.std() / np.sqrt(len(train))), 3),
         "pred_s": round(float(np.mean([r["pred_s"] for r in results])), 3),
         "smse": round(float(np.mean([r["smse"] for r in results])), 4),

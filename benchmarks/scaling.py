@@ -232,8 +232,8 @@ def _analyze_child(n_dev):
         )
         x = jnp.asarray(lmc.param_array, dtype=lmc.dtype)
         compiled = lmc._jit_grad.lower(
-            x, jax.random.PRNGKey(0), lmc.grid_data, lmc.grid_data32,
-            lmc.y,
+            x, jax.random.PRNGKey(0), lmc.grid_data, lmc.precond_data32,
+            lmc.inner_data32, lmc.y,
         ).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):

@@ -77,7 +77,13 @@ class GridPlan:
     grid kernel once per parameter update and runs matvecs on the MXU —
     at benchmark grid sizes this is both faster per matvec and the only
     float64-capable path on TPU, which Krylov convergence on
-    ill-conditioned (small-noise) systems requires.
+    ill-conditioned (small-noise) systems requires; 'tiled' computes
+    the EXACT grid matvec tile-by-tile from the first rows
+    (ops/bttb.py:bttb_tiled_kuu_matvec) — O(m^2) MXU work but O(tile*m)
+    memory and dtype-generic, the f64-capable fine-operator mode for
+    grids BEYOND the dense cap on TPU (used as the true-residual
+    operator of mixed-precision solves whose inner cycles run the f32
+    fft path).
 
     ``grid_shard``: optional ``(Mesh, axis_name)`` — shards the
     grid-sized axis of this group's matvecs over the named mesh axis
@@ -152,6 +158,40 @@ class GridData:
     W_blocks: Any = None  # per-output dense (n_d, m) blocks ('dense')
     WtW: Any = None  # (D, m, m) stacked per-output grams W_d^T W_d
     # ('dense'; feeds the device Woodbury capacitance assembly)
+    coarse: Any = None  # for non-dense groups: a dense-mode GridData on
+    # a COARSENED copy of the same grid (D*m_c <= DENSE_MAX_GRID) — the
+    # geometry of the f32 Woodbury PRECONDITIONER for large-grid solves.
+    # Host-side only; the model strips it from the fine grid_data and
+    # converts it once via precond_dense_f32.
+
+
+def coarse_sizes(sizes, D, cap=None):
+    """Per-dim sizes of the COARSENED preconditioner grid: the largest
+    proportional shrink of ``sizes`` with D * prod(out) <= ``cap``
+    (default DENSE_MAX_GRID) and every dim >= 4 (the cubic-interp
+    minimum)."""
+    cap = cap or DENSE_MAX_GRID
+    sizes = tuple(int(s) for s in sizes)
+    P = len(sizes)
+    budget = max(cap // max(D, 1), 4**P)
+    if int(np.prod(sizes)) <= budget:
+        return sizes
+    factor = (budget / float(np.prod(sizes))) ** (1.0 / P)
+    out = [max(4, int(np.floor(s * factor))) for s in sizes]
+    while int(np.prod(out)) > budget:
+        i = int(np.argmax(out))
+        if out[i] <= 4:
+            break
+        out[i] -= 1
+    return tuple(out)
+
+
+def _dense_artifacts(Xs_active, axes, sizes):
+    """(idx_map, W_blocks, WtW) for a dense-mode group."""
+    idx_map = bttb_ops.bttb_index_map(sizes)
+    W_blocks = tuple(interp_output_blocks(Xs_active, axes))
+    wtw = np.stack([b.T @ b for b in W_blocks])
+    return idx_map, W_blocks, wtw
 
 
 def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
@@ -160,12 +200,16 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
     InterpolatedLLGP._generate_grids, interpolated_llgp.py:415-443).
 
     ``Xs``: list of per-output (n_i, P) design matrices.
-    ``mode``: 'fft' | 'dense' | 'auto' (dense when D*m <= DENSE_MAX_GRID).
+    ``mode``: 'fft' | 'dense' | 'tiled' | 'auto' (dense when
+    D*m <= DENSE_MAX_GRID, else fft). Non-dense groups additionally get
+    a COARSENED dense-mode twin (``GridData.coarse``) — same data, same
+    kernels, grid proportionally shrunk under the dense cap — whose f32
+    Woodbury factorization preconditions the large-grid solves.
     Returns ``(grid_data, axes)``: a list of :class:`GridData` pytrees
     and the per-group list of per-dim numpy grid axes (host-side, used
     to interpolate test inputs at prediction time).
     """
-    if mode not in ("auto", "fft", "dense"):
+    if mode not in ("auto", "fft", "dense", "tiled"):
         raise ValueError("unknown grid mode %r" % (mode,))
 
     def _sub(v, active_dim):
@@ -209,14 +253,37 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
         idx_map = None
         W_blocks = None
         wtw = None
+        coarse = None
         if group_mode == "dense":
-            idx_map = bttb_ops.bttb_index_map(sizes)
-            W_blocks = tuple(interp_output_blocks(Xs_active, axes))
-            wtw = np.stack([b.T @ b for b in W_blocks])
+            idx_map, W_blocks, wtw = _dense_artifacts(
+                Xs_active, axes, sizes
+            )
+        else:
+            # coarse preconditioner twin: same span, shrunken sizes
+            c_sizes = coarse_sizes(sizes, spec.D)
+            c_axes = [
+                np.linspace(a[0], a[-1], s)
+                for a, s in zip(axes, c_sizes)
+            ]
+            c_grid = cartesian_product(*c_axes)
+            c_dists = np.linalg.norm(c_grid - c_grid[0], axis=-1)
+            c_idx, c_blocks, c_wtw = _dense_artifacts(
+                Xs_active, c_axes, c_sizes
+            )
+            coarse = GridData(
+                plan=GridPlan(
+                    active_dim=tuple(active_dim), kidxs=tuple(kidxs),
+                    rep=plan.rep, sizes=c_sizes, mode="dense",
+                ),
+                dists=c_dists,
+                interp=multi_interpolant(Xs_active, c_axes),
+                idx_map=c_idx, W_blocks=c_blocks, WtW=c_wtw,
+            )
         out.append(
             GridData(
                 plan=plan, dists=dists, interp=interp,
                 idx_map=idx_map, W_blocks=W_blocks, WtW=wtw,
+                coarse=coarse,
             )
         )
         all_axes.append(axes)
@@ -265,6 +332,15 @@ class GroupState:
             return jnp.einsum(
                 "ij,...j->...i", self.KUU_dense, u, precision=_HI
             )
+        if self.mode == "tiled":
+            sizes = self.sizes
+            m = int(np.prod(sizes))
+            d = self.D
+            x = u.reshape(u.shape[:-1] + (d, m))
+            out = bttb_ops.bttb_tiled_kuu_matvec(
+                self.grid_tops, self.B, x, sizes
+            )
+            return out.reshape(u.shape[:-1] + (d * m,))
         sizes = self.sizes
         m = int(np.prod(sizes))
         d = self.D
@@ -334,28 +410,72 @@ class GroupState:
         return jnp.concatenate(outs, axis=-1)
 
 
+def _dense_f32_one(gd):
+    assert gd.plan.mode == "dense", gd.plan
+    return gd.replace(
+        idx_map=jnp.asarray(gd.idx_map),
+        dists=jnp.asarray(gd.dists, dtype=jnp.float32),
+        interp=gd.interp.replace(
+            weights=jnp.asarray(gd.interp.weights, dtype=jnp.float32)
+        ),
+        W_blocks=tuple(
+            jnp.asarray(b, dtype=jnp.float32) for b in gd.W_blocks
+        ),
+        WtW=jnp.asarray(gd.WtW, dtype=jnp.float32),
+        coarse=None,
+    )
+
+
 def to_dense_f32(grid_data):
     """Float32 copies of the dense-mode grid artifacts — the inputs to
     the per-step float32 direct Woodbury factorization (woodbury.py).
     Index maps are shared (ints); everything float is downcast."""
+    return tuple(_dense_f32_one(gd) for gd in grid_data)
+
+
+def precond_dense_f32(grid_data):
+    """Per-group float32 DENSE artifacts for the Woodbury
+    preconditioner factor: a dense-mode group contributes itself (the
+    factor is then EXACT at f32), a non-dense group contributes its
+    coarsened twin (``GridData.coarse`` — the factor is then a coarse
+    approximation whose PCG refinement against the exact operator still
+    certifies true residuals). Input is the raw host-side make_grids
+    output."""
     out = []
     for gd in grid_data:
-        assert gd.plan.mode == "dense", gd.plan
-        out.append(
-            gd.replace(
-                idx_map=jnp.asarray(gd.idx_map),
-                dists=jnp.asarray(gd.dists, dtype=jnp.float32),
-                interp=gd.interp.replace(
-                    weights=jnp.asarray(
-                        gd.interp.weights, dtype=jnp.float32
-                    )
-                ),
-                W_blocks=tuple(
-                    jnp.asarray(b, dtype=jnp.float32) for b in gd.W_blocks
-                ),
-                WtW=jnp.asarray(gd.WtW, dtype=jnp.float32),
+        if gd.plan.mode == "dense":
+            out.append(_dense_f32_one(gd))
+        else:
+            assert gd.coarse is not None, gd.plan
+            out.append(_dense_f32_one(gd.coarse))
+    return tuple(out)
+
+
+def fine_fft_f32(grid_data):
+    """Float32 fft-mode copies of the FINE grid artifacts — the cheap
+    inner operator of mixed-precision solves (inner Krylov cycles at
+    f32 FFT speed; the outer refinement recomputes true residuals
+    through the model-dtype 'tiled'/'dense' operator). Dense-mode
+    groups stay dense (MXU matvec is already the fast f32 path)."""
+    import dataclasses as _dc
+
+    out = []
+    for gd in grid_data:
+        if gd.plan.mode == "dense":
+            out.append(_dense_f32_one(gd))
+        else:
+            out.append(
+                gd.replace(
+                    plan=_dc.replace(gd.plan, mode="fft"),
+                    dists=jnp.asarray(gd.dists, dtype=jnp.float32),
+                    interp=gd.interp.replace(
+                        weights=jnp.asarray(
+                            gd.interp.weights, dtype=jnp.float32
+                        )
+                    ),
+                    coarse=None,
+                )
             )
-        )
     return tuple(out)
 
 
@@ -382,6 +502,15 @@ def build_group_state(
             grid_shard=plan.grid_shard,
             W_blocks=w_blocks, grid_tops=tops,
             KUU_dense=_shard_rows(KUU.reshape(dm, dm), plan.grid_shard),
+        )
+
+    if plan.mode == "tiled":
+        # exact matvec from first rows, any dtype; no materialization
+        return GroupState(
+            sizes=sizes, rep=plan.rep, mode="tiled", interp=interp,
+            grid_shard=plan.grid_shard,
+            W_blocks=w_blocks, grid_tops=tops,
+            B=spec.coreg_mats(raw_params, kidxs),
         )
 
     that = bttb_ops.bttb_fft(tops, sizes).reshape(len(kidxs), -1)  # (Qg, F)

@@ -353,6 +353,11 @@ def stochastic_mll_surrogate(
     method="minres",
     grid_data32=None,
     rhs_sharding=None,
+    inner_data32=None,
+    wb_jitter=None,
+    wb_c_jitter=None,
+    cycle=None,
+    stall_ratio=None,
 ):
     """Scalar whose autodiff gradient is the stochastic MLL gradient.
 
@@ -361,13 +366,25 @@ def stochastic_mll_surrogate(
     log-likelihood (use :func:`exact_mll` or a logdet estimator for
     reporting); only its gradient is meaningful.
 
-    ``grid_data32``: float32 dense-mode grid artifacts
-    (:func:`runlmc_tpu.lmc.grid.to_dense_f32`). When given, the
-    (1 + N)-RHS system is solved DIRECTLY: a fresh float32 Woodbury
-    factorization of K is built on device this step and a handful of
-    full-precision PCG iterations certify the residual tolerance
-    (woodbury.py). When absent, batched Krylov (MINRES/CG) runs as in
-    the reference.
+    ``grid_data32``: float32 DENSE-mode grid artifacts for the per-step
+    Woodbury preconditioner factor — the exact fine grid
+    (:func:`runlmc_tpu.lmc.grid.to_dense_f32`, all-dense models: the
+    solve is then near-direct) or the coarsened twin
+    (:func:`runlmc_tpu.lmc.grid.precond_dense_f32`, large-grid models:
+    PCG then takes tens of iterations). Either way the refinement loop
+    certifies TRUE residuals against the model-dtype operator. When
+    absent, plain batched Krylov (MINRES/CG) runs as in the reference.
+
+    ``inner_data32``: optional float32 artifacts of the FINE operator
+    (:func:`runlmc_tpu.lmc.grid.fine_fft_f32`) for the inner Krylov
+    cycles; defaults to the ``grid_data32`` operator itself (correct
+    when that IS the fine grid; a coarse preconditioner must pass the
+    fine f32 operator here or inner iterations converge to the wrong
+    system).
+
+    ``wb_jitter``/``wb_c_jitter``: optional jitter-ladder overrides for
+    the preconditioner factorization (the in-training escalation path
+    re-runs breached chunks with boosted ladders).
 
     ``rhs_sharding``: optional ``NamedSharding`` constraining the
     right-hand-side batch layout — the mesh data-parallel axis
@@ -387,26 +404,45 @@ def stochastic_mll_surrogate(
             lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
         )
         K32 = build_kski(spec, params32, grid_data32, lens)
+        wb_kwargs = {}
+        if wb_jitter is not None:
+            wb_kwargs["jitter"] = wb_jitter
+        if wb_c_jitter is not None:
+            wb_kwargs["c_jitter"] = wb_c_jitter
         wb = build_device_woodbury(
             K32.groups,
             spec.noise(params32),
             K32.noise_n,
             tuple(gd.WtW for gd in grid_data32),
+            **wb_kwargs,
         )
+        if inner_data32 is not None:
+            inner_mv = build_kski(
+                spec, params32, inner_data32, lens
+            ).matvec
+        else:
+            inner_mv = K32.matvec
 
         def solver_call(b):
-            # inner CG cycles at f32 MXU speed (K32 matvec + f32
+            # inner CG cycles at f32 MXU speed (fine f32 matvec + f32
             # Woodbury preconditioner); only the outer true-residual
             # refinement pays a model-dtype matvec per cycle
-            return woodbury_pcg(K_ng.matvec, wb, b, tol=tol,
-                                maxiter=maxiter,
-                                inner_matvec=K32.matvec)
+            return woodbury_pcg(
+                K_ng.matvec, wb, b, tol=tol, maxiter=maxiter,
+                inner_matvec=inner_mv,
+                cycle=10 if cycle is None else cycle,
+                stall_ratio=0.99 if stall_ratio is None else stall_ratio,
+            )
 
     else:
         solver = batched_minres if method == "minres" else batched_cg
 
         def solver_call(b):
-            return solver(K_ng.matvec, b, tol=tol, maxiter=maxiter)
+            return solver(
+                K_ng.matvec, b, tol=tol, maxiter=maxiter,
+                cycle=100 if cycle is None else cycle,
+                stall_ratio=0.99 if stall_ratio is None else stall_ratio,
+            )
 
     res = sharded_solve(solver_call, rhs, rhs_sharding)
     sols = jax.lax.stop_gradient(res.x)

@@ -284,7 +284,7 @@ def woodbury_precond(wb: DeviceWoodbury):
 
 
 def woodbury_pcg(matvec, wb: DeviceWoodbury, b, tol, maxiter=None,
-                 cycle=10, inner_matvec=None):
+                 cycle=10, inner_matvec=None, stall_ratio=0.99):
     """Solve ``K x = b`` (batched over leading axis) by CG
     preconditioned with a (typically float32) direct Woodbury factor.
     With the factor near-exact this converges in a handful of
@@ -304,8 +304,9 @@ def woodbury_pcg(matvec, wb: DeviceWoodbury, b, tol, maxiter=None,
             matvec, b, tol=tol, maxiter=maxiter,
             precond=woodbury_precond(wb), cycle=cycle,
             inner_matvec=inner_matvec, inner_dtype=wb.dtype,
+            stall_ratio=stall_ratio,
         )
     return batched_cg(
         matvec, b, tol=tol, maxiter=maxiter, precond=woodbury_precond(wb),
-        cycle=cycle,
+        cycle=cycle, stall_ratio=stall_ratio,
     )

@@ -22,7 +22,13 @@ import numpy as np
 from jax.flatten_util import ravel_pytree
 
 from runlmc_tpu.lmc import likelihood as lk
-from runlmc_tpu.lmc.grid import build_kski, make_grids, to_dense_f32
+from runlmc_tpu.lmc.grid import (
+    build_kski,
+    fine_fft_f32,
+    make_grids,
+    precond_dense_f32,
+    to_dense_f32,
+)
 from runlmc_tpu.lmc.kernel_spec import LMCKernelSpec
 from runlmc_tpu.lmc.woodbury import (
     build_device_woodbury,
@@ -184,6 +190,20 @@ class InterpolatedLLGP(MultiGP):
         grid_data, self.grid_axes = make_grids(
             self.spec, self.Xs, lo, hi, m, mode=grid_mode
         )
+        if self.dtype == jnp.float64 and jax.default_backend() == "tpu":
+            # XLA TPU has no f64 FFT: beyond-dense-cap groups run their
+            # model-dtype matvecs through the exact 'tiled' first-row
+            # contraction (O(m^2) MXU work, dtype-generic) while the
+            # f32 fft twin (inner_data32 below) carries the inner
+            # Krylov cycles at O(m log m)
+            import dataclasses as _dc
+
+            grid_data = [
+                gd.replace(plan=_dc.replace(gd.plan, mode="tiled"))
+                if gd.plan.mode == "fft"
+                else gd
+                for gd in grid_data
+            ]
         if mesh is not None and "grid" in mesh.axis_names:
             # pod-scale axis: shard fft-mode grid matvecs' Fourier axis
             # over the mesh's 'grid' axis (dense-mode groups are capped
@@ -200,6 +220,7 @@ class InterpolatedLLGP(MultiGP):
             ]
         self.grid_data = tuple(
             gd.replace(
+                coarse=None,  # preconditioner-only; see precond_data32
                 dists=jnp.asarray(gd.dists, dtype=self.dtype),
                 interp=gd.interp.replace(
                     weights=jnp.asarray(
@@ -231,8 +252,16 @@ class InterpolatedLLGP(MultiGP):
         # Woodbury factorization (converted from host numpy, one batch)
         if all(gd.plan.mode == "dense" for gd in grid_data):
             self.grid_data32 = to_dense_f32(tuple(grid_data))
+            # the preconditioner factor IS the exact fine f32 grid, and
+            # the f32 inner operator is the same dense artifacts
+            self.precond_data32 = self.grid_data32
+            self.inner_data32 = self.grid_data32
         else:
             self.grid_data32 = None
+            # large-grid groups: coarse dense twin feeds the Woodbury
+            # preconditioner; fine f32 fft twin feeds the inner cycles
+            self.precond_data32 = precond_dense_f32(tuple(grid_data))
+            self.inner_data32 = fine_fft_f32(tuple(grid_data))
         if objective not in ("auto", "exact", "stochastic"):
             raise ValueError("unknown objective %r" % (objective,))
         if objective == "exact" and self.grid_data32 is None:
@@ -380,7 +409,8 @@ class InterpolatedLLGP(MultiGP):
         exact_precision = self.exact_precision
         data_shard = self._data_shard
 
-        def _grad(x_flat, key, grid_data, grid_data32, y):
+        def _grad(x_flat, key, grid_data, grid_data32, inner32, y,
+                  rescue=False):
             params = unravel(x_flat)
 
             if objective_mode == "exact":
@@ -423,11 +453,39 @@ class InterpolatedLLGP(MultiGP):
 
             probes = lk.rademacher_probes(key, n_probes, n, y.dtype)
 
+            # In-training escalation for the stochastic objective
+            # (round-3 verdict item 2): the rescue program re-runs a
+            # breached chunk with PLAIN model-dtype Krylov — no
+            # preconditioner, no f32 inner cycles. A training-solve
+            # breach means the f32 factor failed (degraded dense
+            # factorization, or a coarse factor whose fine-grid
+            # mismatch exceeds the learned noise); in exactly that
+            # regime the preconditioner SMEARS the SKI spectrum
+            # (rank-Dm cluster + a noise-eigenvalue cluster) that plain
+            # Krylov exploits — measured at noise 2e-5: plain f64 CG
+            # converges in 29 iterations where the coarse-PCG stalls at
+            # ||r|| ~ 10 ||b|| indefinitely. Long unrestarted cycles
+            # (restarts discard the Krylov space — fine for f32 drift
+            # control, fatal for convergence on ill-conditioned
+            # systems), near-1 stall ratio, 4x iteration budget.
+            solver_opts = (
+                dict(
+                    grid_data32=None,
+                    inner_data32=None,
+                    cycle=4 * n,
+                    stall_ratio=0.999,
+                    maxiter=4 * n,
+                )
+                if rescue
+                else dict(grid_data32=grid_data32, inner_data32=inner32)
+            )
+
             def objective(p):
                 s, aux = lk.stochastic_mll_surrogate(
                     spec, p, grid_data, lens, y, probes,
-                    tol=tol, method=method, grid_data32=grid_data32,
+                    tol=tol, method=method,
                     rhs_sharding=rhs_sharding,
+                    **solver_opts,
                 )
                 if prior_specs:
                     s = s + lk.log_prior_term(prior_specs, p)
@@ -439,13 +497,12 @@ class InterpolatedLLGP(MultiGP):
             gflat, _ = ravel_pytree(g)
             return gflat, aux
 
-        grad_fn = jax.jit(_grad)
+        grad_fn = jax.jit(_grad, static_argnames=("rescue",))
 
         chunk_len = self.chunk_len
 
-        @jax.jit
-        def chunk_fn(x0, gms0, sms0, stp0, key, start, hp, grid_data,
-                     grid_data32, y):
+        def _chunk(x0, gms0, sms0, stp0, key, start, hp, grid_data,
+                   grid_data32, inner32, y, rescue=False):
             """`chunk_len` full AdaDelta iterations fused into one XLA
             program (lax.scan): the gradient (incl. the per-step direct
             factorization), the climin-style update rule and the
@@ -465,7 +522,8 @@ class InterpolatedLLGP(MultiGP):
                 sub = jax.random.fold_in(key, start + i)
                 step1 = stp * momentum
                 x1 = x - step1
-                g, aux = _grad(x1, sub, grid_data, grid_data32, y)
+                g, aux = _grad(x1, sub, grid_data, grid_data32, inner32,
+                               y, rescue=rescue)
                 gms_n = decay * gms + (1.0 - decay) * g * g
                 step2 = (
                     jnp.sqrt(sms + offset)
@@ -486,6 +544,8 @@ class InterpolatedLLGP(MultiGP):
                 jnp.arange(chunk_len),
             )
             return outs
+
+        chunk_fn = jax.jit(_chunk, static_argnames=("rescue",))
 
         @jax.jit
         def woodbury_fn(params, grid_data):
@@ -532,31 +592,26 @@ class InterpolatedLLGP(MultiGP):
             )
 
         @jax.jit
-        def wb_pcg_solve_fn(params, grid_data, grid_data32, wb, rhs):
+        def wb_pcg_solve_fn(params, grid_data, inner32, wb, rhs):
             """Batched K^-1 rhs at the MODEL dtype: CG preconditioned
-            by a (typically f32) Woodbury factor — every row's TRUE
-            residual is driven below ``tol`` and returned
+            by a (typically f32) Woodbury factor — exact-fine for
+            dense-mode models, the coarse twin for large grids — every
+            row's TRUE residual is driven below ``tol`` and returned
             (self-certifying, unlike a raw factorized solve). Inner
-            cycles run at f32 MXU speed when f32 grid artifacts exist;
-            only the per-cycle outer residual pays a model-dtype
-            matvec."""
+            cycles run at f32 speed (dense MXU or fft) when f32 fine
+            artifacts exist; only the per-cycle outer residual pays a
+            model-dtype matvec."""
             K = build_kski(spec, params, grid_data, lens)
             inner = None
-            if grid_data32 is not None and wb.dtype == jnp.float32:
+            if inner32 is not None and wb.dtype == jnp.float32:
                 params32 = jax.tree.map(
                     lambda a: jnp.asarray(a, dtype=jnp.float32), params
                 )
-                K32 = build_kski(spec, params32, grid_data32, lens)
+                K32 = build_kski(spec, params32, inner32, lens)
                 inner = K32.matvec
             res = woodbury_pcg(K.matvec, wb, rhs, tol=tol, maxiter=n,
                                inner_matvec=inner)
             return res.x, res.iterations, res.error
-
-        @jax.jit
-        def alpha_fn(params, grid_data, y):
-            K = build_kski(spec, params, grid_data, lens)
-            res = self._solver_fn()(K.matvec, y[None], tol=tol, maxiter=n)
-            return res.x[0], res.iterations[0], res.error[0]
 
         dtype = self.dtype
 
@@ -569,24 +624,22 @@ class InterpolatedLLGP(MultiGP):
             )
 
         @jax.jit
-        def krylov_solve_fn(params, grid_data, grid_data32, rhs):
-            """Long plain Krylov fallback (escalation rung 2 where
-            model-dtype factorizations are unaffordable): MINRES with
-            the full maxiter=n budget, mixed-precision inner cycles
-            when f32 grid artifacts exist."""
+        def krylov_solve_fn(params, grid_data, inner32, rhs):
+            """Plain model-dtype Krylov fallback (escalation rung 2
+            where model-dtype factorizations are unaffordable or
+            unavailable): MINRES with a 4n budget and UNRESTARTED
+            cycles. Rung 2 only fires after the f32-preconditioned
+            solve stalled — in that regime f32 inner cycles share the
+            preconditioner's precision floor, while the SKI spectrum
+            (rank-Dm cluster + noise cluster) lets plain model-dtype
+            Krylov converge in few iterations; restarts would discard
+            exactly the Krylov space that convergence needs. ``inner32``
+            is accepted for signature stability but unused."""
+            del inner32
             K = build_kski(spec, params, grid_data, lens)
-            inner = None
-            inner_dtype = None
-            if grid_data32 is not None and rhs.dtype != jnp.float32:
-                params32 = jax.tree.map(
-                    lambda a: jnp.asarray(a, dtype=jnp.float32), params
-                )
-                K32 = build_kski(spec, params32, grid_data32, lens)
-                inner = K32.matvec
-                inner_dtype = jnp.float32
             res = batched_minres(
-                K.matvec, rhs, tol=tol, maxiter=n,
-                inner_matvec=inner, inner_dtype=inner_dtype,
+                K.matvec, rhs, tol=tol, maxiter=4 * n, cycle=4 * n,
+                stall_ratio=0.999,
             )
             return res.x, res.iterations, res.error
 
@@ -625,29 +678,6 @@ class InterpolatedLLGP(MultiGP):
         def exact_chol_fn(params, X, oidx):
             return lk.exact_chol(spec, params, X, oidx)
 
-        solver_fn = self._solver_fn()
-
-        @jax.jit
-        def predict_otf_fn(params, Xt, ot, test_interps, grid_data, X,
-                           oidx, y):
-            """Fused on-the-fly prediction: one batched solve covers
-            alpha (K^-1 y) and every test column; mean, native and
-            explained variance all in one program."""
-            K = build_kski(spec, params, grid_data, lens)
-            K_test_X = lk.cross_kernel(spec, params, Xt, ot, X, oidx)
-            rhs = jnp.concatenate([y[None], K_test_X], axis=0)
-            res = solver_fn(K.matvec, rhs, tol=tol, maxiter=n)
-            alpha, sols = res.x[0], res.x[1:]
-            mean = 0.0
-            for g, ti in zip(K.groups, test_interps):
-                mean = mean + ti.matvec(
-                    g.grid_matvec(g.interp.rmatvec(alpha))
-                )
-            native = native_variance_fn(params)[ot]
-            explained = jnp.sum(K_test_X * sols, axis=1)
-            var = jnp.maximum(native - explained, 0.0)
-            return mean, var, res.error[0]
-
         @jax.jit
         def predict_mean_fn(params, alpha, test_interps, grid_data):
             K = build_kski(spec, params, grid_data, lens)
@@ -674,7 +704,6 @@ class InterpolatedLLGP(MultiGP):
 
         self._jit_grad = grad_fn
         self._jit_chunk = chunk_fn
-        self._jit_alpha = alpha_fn
         self._jit_woodbury = woodbury_fn
         self._jit_woodbury32 = woodbury32_fn
         self._jit_wb_pcg_solve = wb_pcg_solve_fn
@@ -685,7 +714,6 @@ class InterpolatedLLGP(MultiGP):
         self._jit_native_variance = native_variance_fn
         self._jit_exact_chol = exact_chol_fn
         self._jit_exact_value_and_grad = exact_value_and_grad_fn
-        self._jit_predict_otf = predict_otf_fn
         self._jit_predict_mean = predict_mean_fn
 
     # ---------------------------------------------------------- priors API
@@ -733,8 +761,8 @@ class InterpolatedLLGP(MultiGP):
             x = jnp.asarray(x_flat, dtype=self.dtype)
             self._debug_dump_params(x_flat)
             g, aux = self._jit_grad(
-                x, self._next_key(), self.grid_data, self.grid_data32,
-                self.y,
+                x, self._next_key(), self.grid_data, self.precond_data32,
+                self.inner_data32, self.y,
             )
             if self.metrics is not None:
                 self._record_metrics(x_flat, g, aux)
@@ -751,7 +779,7 @@ class InterpolatedLLGP(MultiGP):
         import time as _time
 
         chunk_stats = {"steps": 0, "seconds": 0.0, "iters": [],
-                       "errors": []}
+                       "errors": [], "rescued_chunks": 0}
 
         def run_chunk(x, gms, sms, step, start_iter):
             """One device-side chunk of AdaDelta steps."""
@@ -765,8 +793,7 @@ class InterpolatedLLGP(MultiGP):
                 ],
                 dtype=self.dtype,
             )
-            t0 = _time.time()
-            outs = self._jit_chunk(
+            args = (
                 jnp.asarray(x, dtype=self.dtype),
                 jnp.asarray(gms, dtype=self.dtype),
                 jnp.asarray(sms, dtype=self.dtype),
@@ -775,31 +802,60 @@ class InterpolatedLLGP(MultiGP):
                 jnp.asarray(start_iter, dtype=jnp.int32),
                 hp,
                 self.grid_data,
-                self.grid_data32,
+                self.precond_data32,
+                self.inner_data32,
                 self.y,
             )
+            t0 = _time.time()
+            outs = self._jit_chunk(*args)
             xs, gmss, smss, steps, gns, iters, errs = jax.device_get(outs)
+
+            def _worst_of(e):
+                w = float(np.max(np.asarray(e, dtype=float)))
+                # NaN residual = NaN objective/factorization; a NaN
+                # compares False against every threshold, so treat it
+                # as an unconditional breach
+                return w if np.isfinite(w) else float("inf")
+
+            worst = _worst_of(errs)
+            if self.objective == "stochastic" and worst > self.tolerance:
+                # IN-TRAINING ESCALATION (stochastic objective): the
+                # chunk's solves stalled above tolerance — its
+                # gradients are inexact (in the worst case, noise:
+                # weather round-3 logged chunk residuals ~ ||y||, i.e.
+                # failed solves). Re-run the SAME chunk (identical
+                # start state and probe keys) through the rescue
+                # program: boosted-jitter preconditioner, longer
+                # refinement cycles, near-1 stall ratio. Keep whichever
+                # run certified better.
+                _LOG.warning(
+                    "chunk worst solve residual %e exceeds the %g "
+                    "tolerance — re-running the chunk with the "
+                    "escalated solver",
+                    worst, self.tolerance,
+                )
+                chunk_stats["rescued_chunks"] += 1
+                outs2 = self._jit_chunk(*args, rescue=True)
+                r2 = jax.device_get(outs2)
+                worst2 = _worst_of(r2[6])
+                if worst2 <= worst:
+                    (xs, gmss, smss, steps, gns, iters, errs) = r2
+                    worst = worst2
+                if worst > self.tolerance:
+                    _LOG.warning(
+                        "escalated chunk still above tolerance "
+                        "(residual %e) — gradients for those steps are "
+                        "inexact",
+                        worst,
+                    )
             chunk_stats["seconds"] += _time.time() - t0
             chunk_stats["steps"] += len(gns)
             chunk_stats["iters"].extend(np.asarray(iters, float))
             chunk_stats["errors"].extend(np.asarray(errs, float))
-            worst = float(np.max(np.asarray(errs, dtype=float)))
-            if not np.isfinite(worst):
-                # NaN residual = NaN objective/factorization; a NaN
-                # compares False against every threshold, so treat it
-                # as an unconditional breach
-                worst = float("inf")
-            if self.objective == "stochastic":
-                # Krylov solves are refined to `tolerance`; anything
-                # above it means the solver genuinely stalled.
-                if worst > self.tolerance:
-                    _LOG.warning(
-                        "chunk worst solve residual %e exceeds the %g "
-                        "tolerance — gradients for those steps are "
-                        "inexact",
-                        worst, self.tolerance,
-                    )
-            elif worst > EXACT_RESIDUAL_THRESHOLD:
+            if (
+                self.objective != "stochastic"
+                and worst > EXACT_RESIDUAL_THRESHOLD
+            ):
                 # Exact mode reports the factorized solve's raw
                 # relative residual. Below EXACT_RESIDUAL_THRESHOLD the
                 # f32 gradient is calibrated-accurate
@@ -872,6 +928,7 @@ class InterpolatedLLGP(MultiGP):
                 info["max_solve_error"] = float(
                     np.max(chunk_stats["errors"])
                 )
+                info["rescued_chunks"] = chunk_stats["rescued_chunks"]
                 _LOG.info(
                     "optimize: %d device steps in %.2fs (%.1f ms/step; "
                     "mean solve iters %.1f, worst residual %.2e)",
@@ -944,11 +1001,12 @@ class InterpolatedLLGP(MultiGP):
         return self._cache["woodbury"]
 
     def _woodbury32(self):
-        """Float32 Woodbury factor (dense grid mode) — the default
-        prediction-time PCG preconditioner; milliseconds to build."""
+        """Float32 Woodbury factor — the default prediction-time PCG
+        preconditioner; milliseconds to build. Exact-fine for dense
+        grid mode, the coarsened twin for large (fft/tiled) grids."""
         if "woodbury32" not in self._cache:
             self._cache["woodbury32"] = self._jit_woodbury32(
-                self.params, self.grid_data32
+                self.params, self.precond_data32
             )
         return self._cache["woodbury32"]
 
@@ -969,7 +1027,7 @@ class InterpolatedLLGP(MultiGP):
         Returns (solutions, worst abs residual); per-call diagnostics
         recorded in ``self.prediction_report``."""
         x, iters, err = self._jit_wb_pcg_solve(
-            self.params, self.grid_data, self.grid_data32,
+            self.params, self.grid_data, self.inner_data32,
             self._woodbury32(), rhs
         )
         def _worst(e):
@@ -985,7 +1043,7 @@ class InterpolatedLLGP(MultiGP):
                 self.dtype == jnp.float64
                 and jax.default_backend() == "cpu"
             )
-            if f64_native:
+            if f64_native and self._all_dense:
                 _LOG.warning(
                     "%s: f32-preconditioned solve stalled at residual "
                     "%e (tolerance %g) — escalating to the model-dtype "
@@ -1000,12 +1058,14 @@ class InterpolatedLLGP(MultiGP):
                 _LOG.warning(
                     "%s: f32-preconditioned solve stalled at residual "
                     "%e (tolerance %g) — escalating to a full Krylov "
-                    "solve (model-dtype factorization unaffordable on "
-                    "%s)",
-                    what, worst, self.tolerance, jax.default_backend(),
+                    "solve (model-dtype factorization %s)",
+                    what, worst, self.tolerance,
+                    "unavailable for non-dense grids"
+                    if not self._all_dense
+                    else "unaffordable on %s" % jax.default_backend(),
                 )
                 x2, it2, err2 = self._jit_krylov_solve(
-                    self.params, self.grid_data, self.grid_data32, rhs
+                    self.params, self.grid_data, self.inner_data32, rhs
                 )
             # keep whichever rung certified better
             if _worst(err2) <= worst:
@@ -1026,27 +1086,11 @@ class InterpolatedLLGP(MultiGP):
 
     def _alpha(self):
         if "alpha" not in self._cache:
-            if self._all_dense:
-                sols, _ = self._solve_certified(self.y[None], "alpha")
-                alpha = sols[0]
-            else:
-                alpha, iters, err = self._jit_alpha(
-                    self.params, self.grid_data, self.y
-                )
-                worst = float(err)
-                self.prediction_report["alpha"] = {
-                    "residual": worst,
-                    "iterations": float(iters),
-                    "escalated": False,
-                    "rhs": 1,
-                }
-                if worst > self.tolerance:
-                    _LOG.critical(
-                        "solve (n = %d) did not converge: "
-                        "reconstruction error %e",
-                        self.y.shape[0], worst,
-                    )
-            self._cache["alpha"] = alpha
+            # every grid mode now has a Woodbury preconditioner (exact
+            # f32 for dense grids, the coarse twin beyond the dense
+            # cap), so alpha is always a certified solve
+            sols, _ = self._solve_certified(self.y[None], "alpha")
+            self._cache["alpha"] = sols[0]
         return self._cache["alpha"]
 
     def _chol(self):
@@ -1169,7 +1213,8 @@ class InterpolatedLLGP(MultiGP):
             jnp.asarray(self.param_array, dtype=self.dtype),
             self._next_key(),
             self.grid_data,
-            self.grid_data32,
+            self.precond_data32,
+            self.inner_data32,
             self.y,
         )
         return np.asarray(g)
@@ -1196,15 +1241,17 @@ class InterpolatedLLGP(MultiGP):
         lens = [len(X) for X in Xs]
         test_interps = self._test_interps(Xs)
 
-        if self._all_dense and self.prediction != "exact":
-            # Direct path: f32-Woodbury-preconditioned CG against the
-            # model-dtype operator — every solve's TRUE residual is
-            # certified below tolerance (escalating to the model-dtype
-            # factorization if the f32 preconditioner stalls). The
-            # observation solve (alpha) rides in the SAME batched call
-            # as the test columns: one program, one shape — repeat
-            # predictions reuse the compiled program instead of paying
-            # a second XLA compile for a batch-size-off-by-one solve.
+        if self.prediction != "exact":
+            # Certified path for EVERY grid mode: Woodbury-
+            # preconditioned CG against the model-dtype operator (the
+            # f32 factor is exact-fine for dense grids, the coarse
+            # twin beyond the dense cap) — every solve's TRUE residual
+            # is certified below tolerance, with escalation if the
+            # preconditioner stalls. The observation solve (alpha)
+            # rides in the SAME batched call as the test columns: one
+            # program, one shape — repeat predictions reuse the
+            # compiled program instead of paying a second XLA compile
+            # for a batch-size-off-by-one solve.
             if self.prediction == "on-the-fly":
                 K_test_X = self._cross_kernel(Xs)
                 if K_test_X.shape[0]:
@@ -1238,41 +1285,20 @@ class InterpolatedLLGP(MultiGP):
             ends = np.cumsum(lens)[:-1]
             return np.split(mean, ends), np.split(var, ends)
 
-        if self.prediction == "on-the-fly":
-            Xt, ot = self._test_flat(Xs)
-            mean, var, err = self._jit_predict_otf(
-                self.params, Xt, ot, test_interps, self.grid_data,
-                self.X, self.oidx, self.y,
+        # 'exact' dense-Cholesky explained variance (reporting/oracle)
+        alpha = self._alpha()
+        mean = np.asarray(
+            self._jit_predict_mean(
+                self.params, alpha, test_interps, self.grid_data
             )
-            worst = float(err)
-            if not np.isfinite(worst):
-                worst = float("inf")
-            if worst > self.tolerance:
-                _LOG.warning(
-                    "prediction alpha solve residual %e above tolerance",
-                    worst,
-                )
-            self.prediction_report["predict-otf"] = {
-                "residual": worst,
-                "iterations": float("nan"),
-                "escalated": False,
-                "rhs": 1 + sum(lens),
-            }
-            mean, var = np.asarray(mean), np.asarray(var)
-        else:
-            alpha = self._alpha()
-            mean = np.asarray(
-                self._jit_predict_mean(
-                    self.params, alpha, test_interps, self.grid_data
-                )
-            )
-            native = np.asarray(self._jit_native_variance(self.params))
-            native = np.repeat(native, lens)
-            explained = self._prediction_methods()[self.prediction](
-                test_interps, Xs
-            )
-            var = native - np.asarray(explained)
-            var[var < 0] = 0
+        )
+        native = np.asarray(self._jit_native_variance(self.params))
+        native = np.repeat(native, lens)
+        explained = self._prediction_methods()[self.prediction](
+            test_interps, Xs
+        )
+        var = native - np.asarray(explained)
+        var[var < 0] = 0
 
         ends = np.cumsum(lens)[:-1]
         return np.split(mean, ends), np.split(var, ends)
@@ -1300,22 +1326,16 @@ class InterpolatedLLGP(MultiGP):
         return np.asarray(jnp.sum(K_test_X * sol.T, axis=1))
 
     def _var_predict_on_the_fly(self, test_interps, Xs):
-        """Batched solves against every test column at once (parity:
-        interpolated_llgp.py:390-397, which pools one scipy solve per
-        test point). Normally short-circuited by the fused
-        ``_jit_predict_otf`` program; kept as the standalone
+        """Certified batched solves against every test column at once
+        (parity: interpolated_llgp.py:390-397, which pools one scipy
+        solve per test point). Normally short-circuited by the fused
+        certified branch of ``_raw_predict``; kept as the standalone
         explained-variance API."""
         K_test_X = self._cross_kernel(Xs)
         if K_test_X.shape[0] == 0:
             return np.zeros(0)
-        K = build_kski(
-            self.spec, self.params, self.grid_data, self.data.lens
-        )
-        res = self._solver_fn()(
-            K.matvec, K_test_X, tol=self.tolerance,
-            maxiter=self.y.shape[0],
-        )
-        return np.asarray(jnp.sum(K_test_X * res.x, axis=1))
+        sols, _ = self._solve_certified(K_test_X, "explained-variance")
+        return np.asarray(jnp.sum(K_test_X * sols, axis=1))
 
     def _precomputed_nu(self):
         """nu_j = [K_UX K^-1 K_XU]_jj for every grid point j, via one
@@ -1334,14 +1354,7 @@ class InterpolatedLLGP(MultiGP):
             eye = jnp.eye(dm, dtype=self.dtype)
             KUU = g.grid_matvec(eye)  # dense (Dm, Dm), symmetric
             rhs = g.interp.matvec(KUU)  # rows: K_XU columns, (Dm, n)
-            if self._all_dense:
-                sols, _ = self._solve_certified(rhs, "precompute-nu")
-            else:
-                res = self._solver_fn()(
-                    K.matvec, rhs, tol=self.tolerance,
-                    maxiter=self.y.shape[0],
-                )
-                sols = res.x
+            sols, _ = self._solve_certified(rhs, "precompute-nu")
             back = g.grid_matvec(g.interp.rmatvec(sols))  # (Dm, Dm)
             self._cache["nu"] = np.asarray(jnp.diagonal(back))
         return self._cache["nu"]

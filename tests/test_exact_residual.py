@@ -51,8 +51,8 @@ def _grad_at_noise(model, noise):
     model.set_params(params)
     x = jnp.asarray(model.param_array, dtype=model.dtype)
     g, aux = model._jit_grad(
-        x, jax.random.PRNGKey(0), model.grid_data, model.grid_data32,
-        model.y,
+        x, jax.random.PRNGKey(0), model.grid_data, model.precond_data32,
+        model.inner_data32, model.y,
     )
     return np.asarray(g), float(aux.solve_error)
 

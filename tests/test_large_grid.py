@@ -1,0 +1,173 @@
+"""Large-grid (beyond-dense-cap) path: coarse-Woodbury-preconditioned
+certified solves, 'tiled' exact fine operator, and the in-training
+stochastic escalation.
+
+The reference runs any grid size through its CPU f64 FFT matvec
+(runlmc/linalg/bttb.py:144-148) with per-solve scipy MINRES; the TPU
+rebuild covers the same regime with (a) a COARSENED dense-mode twin of
+each oversized grid group whose f32 Woodbury factorization
+preconditions every solve (grid.GridData.coarse / precond_dense_f32),
+(b) f32 fft inner cycles + model-dtype outer true-residual refinement
+(fine_fft_f32 + 'fft'/'tiled' modes), and (c) a rescue re-run of any
+training chunk whose solves stall above tolerance.
+
+These tests shrink DENSE_MAX_GRID so a small model genuinely exercises
+the coarse path (coarse sizes strictly below fine sizes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from runlmc_tpu import AdaDelta, InterpolatedLLGP, LMCKernelSpec, RBF
+from runlmc_tpu.lmc import grid as grid_mod
+from runlmc_tpu.lmc.grid import (
+    build_kski,
+    coarse_sizes,
+    fine_fft_f32,
+    make_grids,
+    precond_dense_f32,
+)
+
+
+@pytest.fixture
+def small_cap(monkeypatch):
+    """Force the dense cap low so m=[96] D=2 grids go beyond it."""
+    monkeypatch.setattr(grid_mod, "DENSE_MAX_GRID", 64)
+
+
+def _data(rng, n0=200, n1=150):
+    Xs = [np.sort(rng.uniform(0, 1, n0)), np.sort(rng.uniform(0, 1, n1))]
+    Ys = [np.sin(8 * x) + 0.05 * rng.standard_normal(len(x)) for x in Xs]
+    return Xs, Ys
+
+
+def _spec():
+    return LMCKernelSpec.create(D=2, lmc_kernels=[RBF()], lmc_ranks=[1])
+
+
+def test_coarse_sizes():
+    # proportional shrink under the cap, floor of 4 per dim
+    assert coarse_sizes((2504,), 4, cap=8192) == (2048,)
+    assert coarse_sizes((68, 68), 5, cap=8192) == (40, 40)
+    assert coarse_sizes((10,), 2, cap=8192) == (10,)  # under cap: unchanged
+    c = coarse_sizes((100, 100), 2, cap=64)
+    assert np.prod(c) * 2 <= 64 or c == (4, 4)
+
+
+def test_coarse_artifacts_built_for_fft_groups(small_cap, rng):
+    Xs, _ = _data(rng)
+    spec = _spec().with_input_dim(1)
+    grids, _ = make_grids(
+        spec, [x.reshape(-1, 1) for x in Xs], m=[96], mode="auto"
+    )
+    gd = grids[0]
+    assert gd.plan.mode == "fft"  # beyond the (shrunk) cap
+    assert gd.coarse is not None
+    assert gd.coarse.plan.mode == "dense"
+    assert np.prod(gd.coarse.plan.sizes) < np.prod(gd.plan.sizes)
+    pc = precond_dense_f32(grids)
+    assert pc[0].plan.mode == "dense" and pc[0].WtW is not None
+    fi = fine_fft_f32(grids)
+    assert fi[0].plan.mode == "fft"
+    assert fi[0].dists.dtype == jnp.float32
+
+
+def test_coarse_kski_approximates_fine(small_cap, rng):
+    """The coarse operator is a spectrally-close approximation of the
+    fine operator (what makes it a good preconditioner)."""
+    Xs, _ = _data(rng, 80, 60)
+    spec = _spec().with_input_dim(1)
+    params = spec.init_raw_params()
+    grids, _ = make_grids(
+        spec, [x.reshape(-1, 1) for x in Xs], m=[96], mode="fft"
+    )
+    K_fine = build_kski(spec, params, grids, [80, 60])
+    params32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    K_coarse = build_kski(
+        spec, params32, precond_dense_f32(grids), [80, 60]
+    )
+    v = rng.standard_normal(140)
+    a = np.asarray(K_fine.matvec(jnp.asarray(v)))
+    b = np.asarray(K_coarse.matvec(jnp.asarray(v, dtype=jnp.float32)))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("mode", ["fft", "tiled"])
+def test_large_grid_certified_prediction(small_cap, rng, mode):
+    """End-to-end beyond-cap model: training runs, prediction solves
+    certify TRUE residuals below tolerance through the coarse
+    preconditioner, and quality matches the dense-trained model."""
+    Xs, Ys = _data(rng)
+    m = InterpolatedLLGP(
+        Xs, Ys, functional_kernel=_spec(), m=[96], seed=1, grid_mode=mode
+    )
+    assert m.objective == "stochastic"  # fft/tiled grids can't go exact
+    assert np.prod(m.precond_data32[0].plan.sizes) < np.prod(
+        m.grid_data[0].plan.sizes
+    )
+    m.optimize(optimizer=AdaDelta(max_it=8))
+    tx = [np.linspace(0.1, 0.9, 30)] * 2
+    mus, vs = m.predict(tx)
+    worst = max(d["residual"] for d in m.prediction_report.values())
+    assert worst <= m.tolerance, m.prediction_report
+    assert all(np.all(np.asarray(v) >= 0) for v in vs)
+    # sane quality after only 8 iterations: clearly beats predicting
+    # the mean (full-convergence quality is covered by the bench
+    # --validate smoke and the real-TPU artifacts)
+    f = np.sin(8 * tx[0])
+    smse = np.mean((np.asarray(mus[0]) - f) ** 2) / np.var(f)
+    assert smse < 0.6, smse
+
+
+def test_tiled_matches_fft_solves(small_cap, rng):
+    """'tiled' (exact first-row contraction) and 'fft' (Fourier) fine
+    operators give the same certified solutions on CPU f64."""
+    Xs, Ys = _data(rng, 120, 90)
+    sols = {}
+    for mode in ("fft", "tiled"):
+        m = InterpolatedLLGP(
+            Xs, Ys, functional_kernel=_spec(), m=[96], seed=1,
+            grid_mode=mode,
+        )
+        sols[mode] = np.asarray(m._alpha())
+    np.testing.assert_allclose(sols["fft"], sols["tiled"], atol=1e-5)
+
+
+def test_training_escalation_fires_and_certifies(small_cap, rng, caplog):
+    """Inject ill-conditioning (tiny noise) so the plain chunk solves
+    stall above tolerance, then assert the rescue re-run fires and
+    brings the worst chunk residual below tolerance (round-3 verdict
+    item 2; reference behavior to beat: iterative.py:54-58 logs
+    CRITICAL and moves on)."""
+    import logging
+
+    from runlmc_tpu.params import POSITIVE
+
+    Xs, Ys = _data(rng)
+    m = InterpolatedLLGP(
+        Xs, Ys, functional_kernel=_spec(), m=[96], seed=1, grid_mode="fft"
+    )
+    params = dict(m.params)
+    params["noise"] = jnp.asarray(
+        POSITIVE.inverse(2e-5 * np.ones(2)), dtype=m.dtype
+    )
+    m.set_params(params)
+    with caplog.at_level(logging.WARNING):
+        info = m.optimize(optimizer=AdaDelta(max_it=4))
+    assert info["rescued_chunks"] >= 1, "escalation did not fire"
+    assert info["max_solve_error"] <= m.tolerance, info
+
+
+def test_rescue_keeps_plain_result_when_better(small_cap, rng):
+    """Healthy conditioning: no rescue, residuals already certify."""
+    Xs, Ys = _data(rng)
+    m = InterpolatedLLGP(
+        Xs, Ys, functional_kernel=_spec(), m=[96], seed=1,
+        grid_mode="fft", tolerance=1e-2,
+    )
+    info = m.optimize(optimizer=AdaDelta(max_it=4))
+    assert info["rescued_chunks"] == 0
+    assert info["max_solve_error"] <= 1e-2

@@ -245,7 +245,7 @@ def test_mesh_exact_objective_really_partitions(rng):
     x = jnp.asarray(m8.param_array, dtype=m8.dtype)
     key = jax.random.PRNGKey(0)
     lowered = m8._jit_grad.lower(
-        x, key, m8.grid_data, m8.grid_data32, m8.y
+        x, key, m8.grid_data, m8.precond_data32, m8.inner_data32, m8.y
     )
     hlo = lowered.compile().as_text()
     assert ("all-reduce" in hlo) or ("reduce-scatter" in hlo), (
