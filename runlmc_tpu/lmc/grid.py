@@ -66,6 +66,27 @@ from runlmc_tpu.utils.np_utils import cartesian_product
 # materialization stops paying off against the FFT path.
 DENSE_MAX_GRID = 8192
 
+# Separate, LARGER cap for the f32 Woodbury PRECONDITIONER twin of
+# non-dense groups. Dense mode pays (Dm)^2 memory at the model dtype
+# on every matvec, so its cap is tight; the preconditioner is built
+# once per step at f32 on the MXU — an O((Dm)^3) f32 Cholesky is
+# milliseconds up to ~16k — and preconditioner QUALITY is what keeps
+# large-grid solve iteration counts in the single digits (a twin at
+# the exact fine geometry has only the f32 floor as mismatch, like
+# dense mode's factor; a truly coarsened twin adds its grid's
+# interpolation error, which at degraded conditioning can exceed the
+# learned noise and stall PCG).
+PRECOND_MAX_GRID = 16384
+
+# Dense per-output interpolation blocks (n_d, m) turn the W / W^T
+# applications of a group's SKI matvec into MXU matmuls — measured
+# ~100x faster per Krylov iteration than the gather/scatter path,
+# whose scatter-add costs ~60 ms/iteration at weather-m=2500 scale on
+# TPU (long solves then run into the TPU runtime watchdog). Build them
+# for NON-dense groups too whenever the total element count n * m
+# stays under this budget (~400 MB at f64).
+W_BLOCKS_MAX_ELEMS = 50_000_000
+
 
 @dataclasses.dataclass(frozen=True)
 class GridPlan:
@@ -259,14 +280,27 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
                 Xs_active, axes, sizes
             )
         else:
-            # coarse preconditioner twin: same span, shrunken sizes
-            c_sizes = coarse_sizes(sizes, spec.D)
-            c_axes = [
-                np.linspace(a[0], a[-1], s)
-                for a, s in zip(axes, c_sizes)
-            ]
-            c_grid = cartesian_product(*c_axes)
-            c_dists = np.linalg.norm(c_grid - c_grid[0], axis=-1)
+            n_total = sum(len(X) for X in Xs_active)
+            if n_total * m_tot <= W_BLOCKS_MAX_ELEMS:
+                W_blocks = tuple(
+                    interp_output_blocks(Xs_active, axes)
+                )
+            # preconditioner twin: the exact fine geometry when
+            # D*m fits under PRECOND_MAX_GRID (f32-floor factor
+            # quality), else proportionally shrunken sizes
+            c_sizes = coarse_sizes(sizes, spec.D, cap=PRECOND_MAX_GRID)
+            if c_sizes == sizes:
+                c_axes = axes
+                c_dists = dists
+                c_interp = interp
+            else:
+                c_axes = [
+                    np.linspace(a[0], a[-1], s)
+                    for a, s in zip(axes, c_sizes)
+                ]
+                c_grid = cartesian_product(*c_axes)
+                c_dists = np.linalg.norm(c_grid - c_grid[0], axis=-1)
+                c_interp = multi_interpolant(Xs_active, c_axes)
             c_idx, c_blocks, c_wtw = _dense_artifacts(
                 Xs_active, c_axes, c_sizes
             )
@@ -276,7 +310,7 @@ def make_grids(spec: LMCKernelSpec, Xs, lo=None, hi=None, m=None,
                     rep=plan.rep, sizes=c_sizes, mode="dense",
                 ),
                 dists=c_dists,
-                interp=multi_interpolant(Xs_active, c_axes),
+                interp=c_interp,
                 idx_map=c_idx, W_blocks=c_blocks, WtW=c_wtw,
             )
         out.append(
@@ -473,6 +507,14 @@ def fine_fft_f32(grid_data):
                             gd.interp.weights, dtype=jnp.float32
                         )
                     ),
+                    W_blocks=(
+                        None
+                        if gd.W_blocks is None
+                        else tuple(
+                            jnp.asarray(b, dtype=jnp.float32)
+                            for b in gd.W_blocks
+                        )
+                    ),
                     coarse=None,
                 )
             )
@@ -520,6 +562,7 @@ def build_group_state(
         sizes=sizes, rep=plan.rep, mode="fft", interp=interp,
         grid_shard=plan.grid_shard,
         grid_tops=tops,
+        W_blocks=w_blocks,
     )
     if plan.rep == "sum":
         kwargs["B"] = spec.coreg_mats(raw_params, kidxs)

@@ -33,8 +33,10 @@ from runlmc_tpu.lmc.grid import (
 
 @pytest.fixture
 def small_cap(monkeypatch):
-    """Force the dense cap low so m=[96] D=2 grids go beyond it."""
+    """Force the dense AND preconditioner caps low so m=[96] D=2 grids
+    go beyond both (the preconditioner twin genuinely coarsens)."""
     monkeypatch.setattr(grid_mod, "DENSE_MAX_GRID", 64)
+    monkeypatch.setattr(grid_mod, "PRECOND_MAX_GRID", 64)
 
 
 def _data(rng, n0=200, n1=150):
@@ -72,6 +74,24 @@ def test_coarse_artifacts_built_for_fft_groups(small_cap, rng):
     fi = fine_fft_f32(grids)
     assert fi[0].plan.mode == "fft"
     assert fi[0].dists.dtype == jnp.float32
+
+
+def test_precond_twin_full_resolution_under_cap(monkeypatch, rng):
+    """Between DENSE_MAX_GRID and PRECOND_MAX_GRID the preconditioner
+    twin keeps the EXACT fine geometry (f32-floor factor quality —
+    dense mode's cap is about per-matvec cost, the preconditioner's is
+    about the once-per-step f32 Cholesky)."""
+    monkeypatch.setattr(grid_mod, "DENSE_MAX_GRID", 64)
+    # PRECOND_MAX_GRID stays 16384: 2*100 = 200 fits
+    Xs, _ = _data(rng, 60, 50)
+    spec = _spec().with_input_dim(1)
+    grids, _ = make_grids(
+        spec, [x.reshape(-1, 1) for x in Xs], m=[96], mode="auto"
+    )
+    gd = grids[0]
+    assert gd.plan.mode == "fft"
+    assert gd.coarse.plan.sizes == gd.plan.sizes
+    np.testing.assert_allclose(gd.coarse.dists, gd.dists)
 
 
 def test_coarse_kski_approximates_fine(small_cap, rng):
