@@ -69,10 +69,22 @@ def initialize(coordinator_address=None, num_processes=None,
     if process_id is None and "PROC_ID" in os.environ:
         process_id = int(os.environ["PROC_ID"])
 
+    # CRITICAL: decide WITHOUT touching the XLA backend —
+    # jax.distributed.initialize() must run before anything that
+    # initializes it (jax.devices, jax.default_backend, any
+    # computation), on every platform. TPU-pod auto-discovery is
+    # therefore detected from the environment, not the backend.
+    # MULTI-host signals only: TPU_WORKER_HOSTNAMES lists every host of
+    # the slice (a single-host TPU — e.g. this repo's test/CI image —
+    # sets it to one name, and must stay a no-op).
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     on_tpu_pod = (
-        jax.default_backend() == "tpu"
-        and coordinator_address is None
+        coordinator_address is None
         and num_processes is None
+        and (
+            "," in hostnames
+            or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+        )
     )
     explicit = coordinator_address is not None and num_processes is not None
     if not (on_tpu_pod or explicit):
@@ -81,15 +93,16 @@ def initialize(coordinator_address=None, num_processes=None,
             "configured) — distributed runtime not started"
         )
         return False
-    if explicit and process_id is None and jax.default_backend() != "tpu":
-        # Only TPU pods can auto-detect the process index;
-        # jax.distributed.initialize(process_id=None) elsewhere fails
-        # with an opaque error deep in the rendezvous. Name the missing
-        # knob of the documented COORD/NPROC/PROC_ID recipe instead.
+    if explicit and process_id is None:
+        # jax.distributed.initialize(process_id=None) fails with an
+        # opaque error deep in the rendezvous outside TPU pods (which
+        # should use the no-argument auto-discovery path instead).
+        # Name the missing knob of the documented COORD/NPROC/PROC_ID
+        # recipe.
         raise ValueError(
             "parallel.initialize: COORD/NPROC set but no process id — "
-            "set PROC_ID=<i> (or pass process_id=) on non-TPU "
-            "platforms, which cannot auto-detect the process index"
+            "set PROC_ID=<i> (or pass process_id=); TPU pods should "
+            "call initialize() with no arguments instead"
         )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
