@@ -1495,7 +1495,10 @@ class InterpolatedLLGP(MultiGP):
         factorization program is unaffordable to compile) and in FFT
         grid mode: a stochastic Lanczos quadrature ESTIMATE
         (ops/slq.py, deterministic probes per parameter setting, only
-        model-dtype MATVECS). The reference has no fast-logdet path
+        model-dtype MATVECS; calibrated relative error band 0.3-0.6%
+        at k=40 / >=15 probes across conditioning up to ~1e7 —
+        slq_logdet docstring + tests/test_slq.py sweep). The
+        reference has no fast-logdet path
         (its roadmap lists Lanczos logdet, reference README.md:86); it
         reports the O(n^3) dense-kernel logdet instead."""
         f64_native = (

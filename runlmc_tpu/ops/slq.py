@@ -85,5 +85,14 @@ def slq_logdet(matvec, n, key, n_probes=15, k=40, dtype=jnp.float64):
     """Estimate ``log det K`` for the SPD operator ``matvec`` of size
     ``n`` using ``n_probes`` Rademacher probes and ``k`` Lanczos steps.
     ``matvec`` must map (B, n) -> (B, n) (batched). Jittable — wrap the
-    call site in ``jax.jit`` (the model does)."""
+    call site in ``jax.jit`` (the model does).
+
+    Defaults are CALIBRATED against dense logdets of SKI LMC operators
+    across conditioning 6.6e2 .. 6.5e6 (tests/test_slq.py::
+    test_slq_accuracy_sweep; CPU f64, n=180, 5 seeds): with k=40 and 15
+    probes the relative error band is 0.3-0.6% (max observed 0.6%)
+    at every conditioning level. Quadrature error is negligible past
+    k ~ 20 (k=10 degrades to ~4% at cond 1e6+, k=80 matches k=40 to 4
+    decimals); the residual error is probe variance, shrinking as
+    1/sqrt(n_probes) (45 probes: ~0.36% mean)."""
     return _slq_impl(matvec, n, key, n_probes, k, dtype)
