@@ -51,7 +51,13 @@ from runlmc_tpu.ops.solvers import batched_cg
 _HI = jax.lax.Precision.HIGHEST
 
 
-def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2), equilibrate=True):
+# Default for chol_jittered's Jacobi equilibration (module-level so
+# experiments/benchmarks can A/B it without threading a parameter
+# through every call site).
+EQUILIBRATE_DEFAULT = True
+
+
+def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2), equilibrate=None):
     """Cholesky of ``A + delta*diag-scale`` with escalating jitter,
     jit-safe AND autodiff-safe, with Jacobi equilibration.
 
@@ -79,6 +85,8 @@ def chol_jittered(A, scales=(1e-6, 1e-4, 1e-2), equilibrate=True):
     with ``jnp.where`` would leak NaN cotangents from the failed
     candidates' cholesky VJPs (the exact-objective training path
     differentiates through this)."""
+    if equilibrate is None:
+        equilibrate = EQUILIBRATE_DEFAULT
     eye = jnp.eye(A.shape[0], dtype=A.dtype)
     if equilibrate:
         d0 = jnp.diagonal(A)

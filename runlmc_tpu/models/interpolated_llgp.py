@@ -999,7 +999,26 @@ class InterpolatedLLGP(MultiGP):
                     for k in range(7)
                 )
                 worst2 = _worst_of(r2[6])
-                if worst2 <= worst:
+                # Adopt the rescue only when its solves meet the
+                # CALIBRATED gradient-accuracy bound: tolerance, or a
+                # relative residual of 2e-2 (tests/test_exact_residual
+                # calibration: residual 2e-2 keeps the gradient within
+                # 0.4% — below the 15-probe estimator's own noise).
+                # The solve-error metric is a mean of row residual
+                # norms whose rows are probes of norm sqrt(n), so the
+                # absolute form of that bound is 2e-2 * sqrt(n). A
+                # rescue that lands merely-smaller-but-still-garbage
+                # would swap one inexact gradient stream for a
+                # different one, silently changing the training
+                # trajectory for no accuracy gain (measured on weather
+                # m=500: adopting a 126 -> 25 "improvement" steered
+                # training into a far worse-conditioned optimum than
+                # tolerating the original noisy steps).
+                adopt_bound = max(
+                    self.tolerance,
+                    2e-2 * float(np.sqrt(len(self.data.y))),
+                )
+                if worst2 <= adopt_bound:
                     (xs, gmss, smss, steps, gns, iters, errs) = r2
                     worst = worst2
                 if worst > self.tolerance:
