@@ -341,6 +341,44 @@ def f32_factorization_residual(spec, raw_params, grid_data32, lens, y):
     )
 
 
+def stochastic_surrogate_from_solves(
+    spec: LMCKernelSpec, raw_params, grid_data, lens, alpha, zs, probes
+):
+    """The differentiable tail of :func:`stochastic_mll_surrogate`:
+    the surrogate scalar
+
+        s(theta) = 1/2 alpha^T K(theta) alpha
+                   - 1/(2 N) sum_i z_i^T K(theta) r_i
+
+    given already-computed (detached) solutions ``alpha = K^-1 y`` and
+    ``zs = K^-1 r_i``. Exposed separately so the certified training
+    rescue can obtain the solutions through the model's full
+    host-driven solver ladder and still get the gradient from one
+    small jitted program.
+
+    The contraction runs at the dtype of the ``grid_data`` artifacts:
+    passing a lower-precision twin (f32 fft) computes the gradient at
+    that precision and autodiff upcasts it through the parameter cast
+    — see ``diff_data`` in :func:`stochastic_mll_surrogate`."""
+    cdtype = jnp.asarray(grid_data[0].dists).dtype
+    params_c = jax.tree.map(lambda a: a.astype(cdtype), raw_params)
+    K = build_kski(spec, params_c, grid_data, lens)
+    operands = jnp.concatenate(
+        [jax.lax.stop_gradient(alpha)[None], probes], axis=0
+    ).astype(cdtype)
+    applied = K.matvec(operands)
+    hi = jax.lax.Precision.HIGHEST  # TPU dots default to bf16 multiplies
+    quad_term = 0.5 * jnp.einsum(
+        "n,n->", operands[0], applied[0], precision=hi
+    )
+    zs_c = jax.lax.stop_gradient(zs).astype(cdtype)
+    trace_term = (
+        jnp.einsum("in,in->", zs_c, applied[1:], precision=hi)
+        / probes.shape[0]
+    )
+    return quad_term - 0.5 * trace_term
+
+
 def stochastic_mll_surrogate(
     spec: LMCKernelSpec,
     raw_params,
@@ -354,10 +392,9 @@ def stochastic_mll_surrogate(
     grid_data32=None,
     rhs_sharding=None,
     inner_data32=None,
-    wb_jitter=None,
-    wb_c_jitter=None,
     cycle=None,
     stall_ratio=None,
+    diff_data=None,
 ):
     """Scalar whose autodiff gradient is the stochastic MLL gradient.
 
@@ -382,14 +419,21 @@ def stochastic_mll_surrogate(
     fine f32 operator here or inner iterations converge to the wrong
     system).
 
-    ``wb_jitter``/``wb_c_jitter``: optional jitter-ladder overrides for
-    the preconditioner factorization (the in-training escalation path
-    re-runs breached chunks with boosted ladders).
-
     ``rhs_sharding``: optional ``NamedSharding`` constraining the
     right-hand-side batch layout — the mesh data-parallel axis
     (replaces the reference's pool.starmap over solves,
     stochastic_deriv.py:51-52).
+
+    ``diff_data``: optional grid artifacts for the DIFFERENTIABLE
+    covariance application (defaults to ``grid_data``). The
+    beyond-dense-cap TPU path passes the f32 fft fine twin here: the
+    gradient contraction (and its backward pass) then runs at f32 FFT
+    speed instead of through the emulated-f64 'tiled' gather — whose
+    backward is a scatter-add over Q*m^2 elements, measured to
+    dominate the weather-m=2500 training step. Gradient rounding from
+    the downcast is ~1e-6 relative, orders below the 15-probe
+    estimator's own 0.6-10% noise band
+    (tests/test_large_grid.py::test_f32_diff_gradient_accuracy).
     """
     # Solve K^-1 [y, r_1..r_N] with gradients blocked: the solver loop is
     # not differentiated (and need not be — the estimator only needs the
@@ -404,17 +448,11 @@ def stochastic_mll_surrogate(
             lambda a: jnp.asarray(a, dtype=jnp.float32), solve_params
         )
         K32 = build_kski(spec, params32, grid_data32, lens)
-        wb_kwargs = {}
-        if wb_jitter is not None:
-            wb_kwargs["jitter"] = wb_jitter
-        if wb_c_jitter is not None:
-            wb_kwargs["c_jitter"] = wb_c_jitter
         wb = build_device_woodbury(
             K32.groups,
             spec.noise(params32),
             K32.noise_n,
             tuple(gd.WtW for gd in grid_data32),
-            **wb_kwargs,
         )
         if inner_data32 is not None:
             inner_mv = build_kski(
@@ -449,17 +487,11 @@ def stochastic_mll_surrogate(
     alpha = sols[0]
     zs = sols[1:]
 
-    # Differentiable covariance application.
-    K = build_kski(spec, raw_params, grid_data, lens)
-    operands = jnp.concatenate([alpha[None], probes], axis=0)
-    applied = K.matvec(operands)
-    hi = jax.lax.Precision.HIGHEST  # TPU dots default to bf16 multiplies
-    quad_term = 0.5 * jnp.einsum("n,n->", alpha, applied[0], precision=hi)
-    n_probes = probes.shape[0]
-    trace_term = (
-        jnp.einsum("in,in->", zs, applied[1:], precision=hi) / n_probes
+    surrogate = stochastic_surrogate_from_solves(
+        spec, raw_params,
+        grid_data if diff_data is None else diff_data,
+        lens, alpha, zs, probes,
     )
-    surrogate = quad_term - 0.5 * trace_term
 
     aux = StochasticAux(
         alpha=alpha,

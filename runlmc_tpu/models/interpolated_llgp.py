@@ -86,6 +86,10 @@ EXACT_RESIDUAL_THRESHOLD = 0.25
 VALIDATION_ZSQ_THRESHOLD = 50.0
 VALIDATION_ZEROVAR_THRESHOLD = 0.05
 VALIDATION_HOLDOUT_FRAC = 0.06
+# Iteration cap for the guard's twin training (see
+# _validate_exact_objective): calibrated on the measured weather
+# pathology by benchmarks/guard_calibration.py.
+VALIDATION_GUARD_MAX_IT = 25
 
 
 class InterpolatedLLGP(MultiGP):
@@ -130,6 +134,7 @@ class InterpolatedLLGP(MultiGP):
     """
 
     EVAL_NORM = EVAL_NORM
+    VALIDATION_GUARD_MAX_IT = VALIDATION_GUARD_MAX_IT
 
     def __init__(
         self,
@@ -449,6 +454,14 @@ class InterpolatedLLGP(MultiGP):
         objective_mode = self.objective
         exact_precision = self.exact_precision
         data_shard = self._data_shard
+        # Beyond-dense-cap TPU models ('tiled' fine operator, emulated
+        # f64): route the DIFFERENTIABLE covariance application through
+        # the f32 fft fine twin — the tiled gather's backward is a
+        # scatter-add over Q*m^2 elements, measured to dominate the
+        # weather-m=2500 step (see stochastic_mll_surrogate's
+        # diff_data note). Dense/fft-mode models keep the model-dtype
+        # gradient path.
+        f32_diff = any(gd.plan.mode == "tiled" for gd in self.grid_data)
 
         def _grad(x_flat, key, grid_data, grid_data32, inner32, y,
                   rescue=False):
@@ -535,6 +548,7 @@ class InterpolatedLLGP(MultiGP):
                     spec, p, grid_data, lens, y, probes,
                     tol=tol, method=method,
                     rhs_sharding=rhs_sharding,
+                    diff_data=inner32 if f32_diff else None,
                     **solver_opts,
                 )
                 if prior_specs:
@@ -548,6 +562,34 @@ class InterpolatedLLGP(MultiGP):
             return gflat, aux
 
         grad_fn = jax.jit(_grad, static_argnames=("rescue",))
+
+        model_dtype = self.dtype
+
+        @jax.jit
+        def probes_fn(key):
+            return lk.rademacher_probes(key, n_probes, n, model_dtype)
+
+        def _grad_from_solves(x_flat, probes, alpha, zs, grid_data,
+                              inner32):
+            """Gradient of the negative (penalized) stochastic
+            surrogate given ladder-certified solutions — the
+            contraction half of the rung-2 training rescue."""
+            params = unravel(x_flat)
+
+            def obj(p):
+                s = lk.stochastic_surrogate_from_solves(
+                    spec, p, inner32 if f32_diff else grid_data, lens,
+                    alpha, zs, probes,
+                )
+                if prior_specs:
+                    s = s + lk.log_prior_term(prior_specs, p)
+                return -s
+
+            g = jax.grad(obj)(params)
+            gflat, _ = ravel_pytree(g)
+            return gflat.astype(x_flat.dtype)
+
+        grad_from_solves_fn = jax.jit(_grad_from_solves)
 
         chunk_len = self.chunk_len
 
@@ -783,6 +825,8 @@ class InterpolatedLLGP(MultiGP):
 
         self._jit_grad = grad_fn
         self._jit_chunk = chunk_fn
+        self._jit_probes = probes_fn
+        self._jit_grad_from_solves = grad_from_solves_fn
         self._jit_woodbury = woodbury_fn
         self._jit_woodbury32 = woodbury32_fn
         self._jit_wb_pcg_round = wb_pcg_round_fn
@@ -1018,9 +1062,39 @@ class InterpolatedLLGP(MultiGP):
                     self.tolerance,
                     2e-2 * float(np.sqrt(len(self.data.y))),
                 )
-                if worst2 <= adopt_bound:
+                if worst2 <= adopt_bound and worst2 <= worst:
+                    # adopt only a rescue that BOTH meets the calibrated
+                    # bound and actually certifies better than the plain
+                    # chunk — never swap gradient streams for no gain
                     (xs, gmss, smss, steps, gns, iters, errs) = r2
                     worst = worst2
+                if worst > self.tolerance:
+                    # RUNG 2 (round-5): the in-program plain-Krylov
+                    # rescue is budget-capped (watchdog) and
+                    # preconditioner-free; when it still breaches,
+                    # re-run the breached steps with solves from the
+                    # FULL certified solver ladder — the same
+                    # host-driven bounded-round machinery
+                    # (_solve_certified: f32-Woodbury PCG ->
+                    # model-dtype cycles -> plain-Krylov rounds) that
+                    # certifies prediction residuals at tolerance on
+                    # the weather m=2500 TPU artifact — and gradients
+                    # from one small jitted contraction.
+                    _LOG.warning(
+                        "escalated chunk still above tolerance "
+                        "(residual %e) — re-running breached steps "
+                        "with certified-ladder solves",
+                        worst,
+                    )
+                    r3 = self._rescue_steps_certified(
+                        args[:4],
+                        (xs, gmss, smss, steps, gns, iters, errs),
+                        int(np.asarray(start_iter)), hp, run_key,
+                    )
+                    worst3 = _worst_of(r3[6])
+                    if worst3 <= adopt_bound and worst3 <= worst:
+                        (xs, gmss, smss, steps, gns, iters, errs) = r3
+                        worst = worst3
                 if worst > self.tolerance:
                     _LOG.warning(
                         "escalated chunk still above tolerance "
@@ -1162,13 +1236,32 @@ class InterpolatedLLGP(MultiGP):
             Xs_tr, Ys_tr, objective="exact",
             name=self.name + "-guard", **ctor,
         )
+        # Replicate the main run's full optimizer configuration (a twin
+        # trained under different hyperparameters would validate a
+        # different training regime), but CAP its iteration count: the
+        # breach signal is gap-extrapolation overconfidence, which
+        # develops as soon as the noise/lengthscale head toward the
+        # pathological optimum — measured on the real weather
+        # pathology (benchmarks/guard_calibration.py), the twin
+        # breaches the zero-variance criterion by iteration ~10 and
+        # the margin only widens, while a healthy fx2007 fit stays
+        # calibrated at every iteration count. The cap bounds the
+        # guard's cost at VALIDATION_GUARD_MAX_IT/max_it of a full
+        # training run instead of doubling it.
         opt_kwargs = {}
         if isinstance(optimizer, AdaDelta):
             opt_kwargs = dict(
+                step_rate=optimizer.step_rate,
+                decay=optimizer.decay,
+                momentum=optimizer.momentum,
+                offset=optimizer.offset,
                 max_it=optimizer.max_it,
                 min_grad_ratio=optimizer.min_grad_ratio,
-                step_rate=optimizer.step_rate,
+                permitted_drops=optimizer.permitted_drops,
             )
+        opt_kwargs["max_it"] = min(
+            opt_kwargs.get("max_it", 100), self.VALIDATION_GUARD_MAX_IT
+        )
         twin.optimize(optimizer=AdaDelta(**opt_kwargs))
         mus, vs = twin.predict(Xs_va)
         z2s, n_zero, n_tot = [], 0, 0
@@ -1187,12 +1280,19 @@ class InterpolatedLLGP(MultiGP):
 
     def loo_zsq(self):
         """Mean squared leave-one-out standardized residual of the
-        current fit (~1 when calibrated; dense grid mode — see
-        :func:`runlmc_tpu.lmc.woodbury.loo_zsq`)."""
+        current fit (~1 when calibrated; see
+        :func:`runlmc_tpu.lmc.woodbury.loo_zsq`). The model-dtype
+        factorization needs dense grid mode; beyond the dense cap the
+        statistic comes from the f32 factor (the coarse twin), whose
+        own error is far below the >>1 signal this detects."""
         f64_native = (
             self.dtype == jnp.float64 and jax.default_backend() == "cpu"
         )
-        wb = self._woodbury() if f64_native else self._woodbury32()
+        wb = (
+            self._woodbury()
+            if f64_native and self._all_dense
+            else self._woodbury32()
+        )
         return float(wb_loo_zsq(wb, self.y.astype(wb.dtype)))
 
     def _debug_dump_params(self, x_flat):
@@ -1241,11 +1341,95 @@ class InterpolatedLLGP(MultiGP):
         (see run_chunk)."""
         return tuple(gd.replace(W_blocks=None) for gd in self.grid_data)
 
-    def warm_rescue(self, key=None):
-        """Compile (and once execute) the escalated rescue-chunk
-        program at the CURRENT parameters, so a mid-training breach
-        does not pay the rescue's one-off XLA compile inside the
-        timed/production path. No model state is mutated."""
+    def _rescue_steps_certified(self, st0, plain, start_iter, hp,
+                                run_key):
+        """RUNG-2 training rescue: re-run every step of a chunk from
+        its first breached step with solves obtained through the full
+        certified solver ladder (:meth:`_solve_certified` — host-driven
+        bounded rounds, the machinery that certifies prediction
+        residuals at tolerance), gradients from the jitted
+        solution-contraction program, and the AdaDelta update replayed
+        on host (float64 numpy — identical arithmetic to the device
+        chunk's update rule). Probe streams stay
+        ``fold_in(run_key, global_iter)``, so only solve accuracy
+        differs from the plain chunk.
+
+        ``st0``: device chunk-entry state (x, gms, sms, step);
+        ``plain``: the 7-tuple of stacked per-step chunk outputs.
+        Returns the same 7-tuple layout with breached steps re-run.
+        """
+        xs, gmss, smss, steps, gns, iters, errs = plain
+        errs_np = np.asarray(errs, dtype=float)
+        bad = (errs_np > self.tolerance) | ~np.isfinite(errs_np)
+        j0 = int(np.argmax(bad))
+        if j0 == 0:
+            st = tuple(np.asarray(a, dtype=float) for a in st0)
+        else:
+            st = tuple(
+                np.asarray(a[j0 - 1], dtype=float)
+                for a in (xs, gmss, smss, steps)
+            )
+        x, gms, sms, stp = st
+        step_rate, decay, momentum, offset = (
+            float(v) for v in np.asarray(hp)
+        )
+        params_before = self.param_array
+        pieces = []
+        try:
+            for j in range(j0, len(np.asarray(gns))):
+                it_g = start_iter + j
+                step1 = stp * momentum
+                x1 = x - step1
+                probes = self._jit_probes(
+                    jax.random.fold_in(run_key, it_g)
+                )
+                # the ladder's jitted rounds read self.params; the
+                # param swap also invalidates the cached f32 factor so
+                # the preconditioner rebuilds at this step's params
+                self.param_array = x1
+                rhs = jnp.concatenate([self.y[None], probes], axis=0)
+                what = "train-rescue[iter %d]" % it_g
+                sols, worst_j = self._solve_certified(rhs, what)
+                rep = self.prediction_report.get(what, {})
+                g = np.asarray(
+                    self._jit_grad_from_solves(
+                        jnp.asarray(x1, dtype=self.dtype), probes,
+                        sols[0], sols[1:], self.grid_data,
+                        self.inner_data32,
+                    ),
+                    dtype=float,
+                )
+                gms = decay * gms + (1.0 - decay) * g * g
+                step2 = (
+                    np.sqrt(sms + offset) / np.sqrt(gms + offset)
+                    * g * step_rate
+                )
+                x = x1 - step2
+                stp = step1 + step2
+                sms = decay * sms + (1.0 - decay) * stp * stp
+                pieces.append((
+                    x, gms, sms, stp, float(np.max(np.abs(g))),
+                    float(rep.get("iterations", 0.0)), float(worst_j),
+                ))
+        finally:
+            self.param_array = params_before
+        out = []
+        for k in range(7):
+            head = np.asarray(plain[k][:j0], dtype=float)
+            tail = np.stack(
+                [np.asarray(p[k], dtype=float) for p in pieces]
+            )
+            out.append(np.concatenate([head, tail]))
+        return tuple(out)
+
+    def warm_rescue(self, key=None, ladder=True):
+        """Compile (and once execute) the escalated rescue programs at
+        the CURRENT parameters, so a mid-training breach does not pay
+        their one-off XLA compiles inside the timed/production path:
+        the rung-1 rescue-chunk program and (``ladder=True``) the
+        rung-2 certified-ladder pieces (the bounded solve rounds at
+        the training batch shape + the solution-contraction gradient).
+        No model state is mutated."""
         x = jnp.asarray(self.param_array, dtype=self.dtype)
         z = jnp.zeros_like(x)
         hp = jnp.asarray([1.0, 0.9, 0.5, 1e-4], dtype=self.dtype)
@@ -1258,6 +1442,19 @@ class InterpolatedLLGP(MultiGP):
             rescue=True, n_steps=1,
         )
         jax.block_until_ready(o)
+        if ladder:
+            probes = self._jit_probes(
+                key if key is not None else jax.random.PRNGKey(0)
+            )
+            rhs = jnp.concatenate([self.y[None], probes], axis=0)
+            report_before = dict(self.prediction_report)
+            sols, _ = self._solve_certified(rhs, "warm-rescue-ladder")
+            self.prediction_report = report_before
+            g = self._jit_grad_from_solves(
+                x, probes, sols[0], sols[1:], self.grid_data,
+                self.inner_data32,
+            )
+            jax.block_until_ready(g)
 
     def _woodbury(self):
         """Model-dtype Woodbury factorization of K_SKI (dense grid
@@ -1451,10 +1648,13 @@ class InterpolatedLLGP(MultiGP):
                     )
                     if err2b <= err2:
                         x2, it2, err2 = x2b, it2 + it2b, err2b
-            # keep whichever rung certified better
+            # keep whichever rung certified better; the reported
+            # iteration count accumulates across rungs either way
             w2 = err2 if np.isfinite(err2) else float("inf")
             if w2 <= worst:
-                x, iters, worst = x2, it2, w2
+                x, iters, worst = x2, iters + it2, w2
+            else:
+                iters = iters + it2
         if worst > self.tolerance:
             _LOG.critical(
                 "%s (n = %d) did not converge: reconstruction error %e",

@@ -181,6 +181,103 @@ def test_training_escalation_fires_and_certifies(small_cap, rng, caplog):
     assert info["max_solve_error"] <= m.tolerance, info
 
 
+def test_f32_diff_gradient_accuracy(small_cap, rng):
+    """The beyond-cap training step computes its gradient through the
+    f32 fft fine twin (``diff_data``) instead of the model-dtype tiled
+    operator (whose scatter-add backward dominated the weather m=2500
+    step). With identical probes and solves, the f32-diff gradient must
+    agree with the f64 gradient to far below the 15-probe estimator's
+    own noise band (0.6-10%, reference grad-grid artifacts)."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from runlmc_tpu.lmc import likelihood as lk
+
+    Xs, Ys = _data(rng, 120, 90)
+    spec = _spec().with_input_dim(1)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float64), spec.init_raw_params(seed=3)
+    )
+    grids_host, _ = make_grids(
+        spec, [x.reshape(-1, 1) for x in Xs], m=[96], mode="fft"
+    )
+    lens = tuple(len(x) for x in Xs)
+    grids = tuple(
+        gd.replace(coarse=None, dists=jnp.asarray(gd.dists))
+        for gd in grids_host
+    )
+    fine32 = fine_fft_f32(grids_host)
+    y = jnp.asarray(np.concatenate(Ys))
+    probes = lk.rademacher_probes(
+        jax.random.PRNGKey(0), 8, len(y), jnp.float64
+    )
+
+    def grad_of(diff_data):
+        def obj(p):
+            s, _ = lk.stochastic_mll_surrogate(
+                spec, p, grids, lens, y, probes, tol=1e-6,
+                diff_data=diff_data,
+            )
+            return -s
+
+        g = jax.grad(obj)(params)
+        flat, _ = ravel_pytree(g)
+        return np.asarray(flat)
+
+    g64 = grad_of(None)
+    g32 = grad_of(fine32)
+    assert g32.dtype == np.float64  # upcast through the parameter cast
+    rel = np.linalg.norm(g64 - g32) / np.linalg.norm(g64)
+    assert rel < 1e-3, rel
+    cos = g64 @ g32 / (np.linalg.norm(g64) * np.linalg.norm(g32))
+    assert cos > 0.99999, cos
+
+
+def test_rung2_certified_rescue_steps(small_cap, rng):
+    """RUNG-2 training rescue: breached chunk steps re-run with
+    certified-ladder solves land below tolerance and the re-run
+    preserves the chunk layout (prefix untouched, AdaDelta update
+    replayed from the breach point)."""
+    import jax.numpy as jnp
+
+    from runlmc_tpu.params import POSITIVE
+
+    Xs, Ys = _data(rng)
+    m = InterpolatedLLGP(
+        Xs, Ys, functional_kernel=_spec(), m=[96], seed=1, grid_mode="fft"
+    )
+    params = dict(m.params)
+    params["noise"] = jnp.asarray(
+        POSITIVE.inverse(2e-5 * np.ones(2)), dtype=m.dtype
+    )
+    m.set_params(params)
+    x0 = jnp.asarray(m.param_array, dtype=m.dtype)
+    z = jnp.zeros_like(x0)
+    hp = jnp.asarray([1.0, 0.9, 0.5, 1e-4], dtype=m.dtype)
+    key = jax.random.PRNGKey(7)
+    plain = jax.device_get(m._jit_chunk(
+        x0, z, z, z, key, jnp.asarray(0, jnp.int32), hp,
+        m.grid_data, m.precond_data32, m.inner_data32, m.y,
+        n_steps=3,
+    ))
+    # make sure the scenario is real: at least one step breaches
+    errs = np.asarray(plain[6], dtype=float)
+    assert np.any(errs > m.tolerance), errs
+    x_before = m.param_array.copy()
+    out = m._rescue_steps_certified(
+        (x0, z, z, z), plain, 0, hp, key
+    )
+    assert all(len(np.asarray(o)) == 3 for o in out)
+    assert np.max(out[6]) <= m.tolerance, out[6]
+    j0 = int(np.argmax(errs > m.tolerance))
+    if j0 > 0:  # prefix of certified steps is preserved verbatim
+        np.testing.assert_array_equal(
+            np.asarray(out[0][:j0]), np.asarray(plain[0][:j0])
+        )
+    # model params restored after the rescue
+    np.testing.assert_array_equal(m.param_array, x_before)
+
+
 def test_rescue_keeps_plain_result_when_better(small_cap, rng):
     """Healthy conditioning: no rescue, residuals already certify."""
     Xs, Ys = _data(rng)

@@ -211,12 +211,17 @@ def test_validation_split_contiguous_blocks(rng):
         n = len(X)
         assert len(Xtr) + len(Xva) == n
         assert 0.03 <= len(Xva) / n <= 0.10
-        # held-out indices form exactly two contiguous runs
-        held = np.where(~np.isin(np.arange(n),
-                                 np.searchsorted(X.ravel(), Xtr.ravel())))[0]
-        va_sorted = np.sort(Xva.ravel())
-        assert np.allclose(va_sorted, np.sort(Xva.ravel()))
         assert len(Yva) == len(Xva)
+        # The held-out INDEX set must form exactly two maximal
+        # contiguous runs (the structure that exposes
+        # gap-extrapolation overconfidence). X is sorted and has
+        # unique values here, so positions of held-out rows in the
+        # original series identify the runs; an interleaved holdout
+        # would produce ~len(Xva) runs and must fail this.
+        held = np.flatnonzero(np.isin(X.ravel(), Xva.ravel()))
+        assert len(held) == len(Xva)
+        n_runs = int(np.sum(np.diff(held) > 1)) + 1
+        assert n_runs == 2, (n_runs, held)
 
 
 def test_auto_objective_guard_demotes_on_breach(rng, monkeypatch, caplog):
