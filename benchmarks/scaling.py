@@ -39,7 +39,7 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_batch_scaling(n=3054, D=13, m=238, seed=0):
+def run_batch_scaling(n=3054, D=13, m=238, seed=0, bmax=512):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +75,9 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
 
     results = []
     base = None
-    for B in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
+    batches = [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                           1024, 2048, 4096, 8192) if b <= bmax]
+    for B in batches:
         b = jnp.asarray(rng.standard_normal((B, ntot)))
         x, it = solve(params, grids, grids32, b)  # compile
         float(jnp.sum(x))
@@ -105,9 +107,18 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
     # isn't needed — the curve itself shows which regime each B is in.
     derived = {
         "8x@B=%d" % B: round(times[B] / (8 * times[B // 8]), 3)
-        for B in (8, 16, 32, 64, 128, 256, 512)
+        for B in (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
         if B in times and B // 8 in times
     }
+    # Saturation knee: the first B where doubling the batch costs
+    # >= 1.7x the time (throughput has flattened — the chip is doing
+    # proportional work; beyond here the derived 8x efficiency is the
+    # honest scaling number).
+    knee = None
+    for (B0, t0_, _), (B1, t1, _) in zip(results, results[1:]):
+        if t1 / t0_ >= 1.7:
+            knee = B1
+            break
     print(json.dumps({
         "metric": "solve_batch_scaling",
         "value": round(results[-1][2], 1),
@@ -121,6 +132,7 @@ def run_batch_scaling(n=3054, D=13, m=238, seed=0):
             results[-1][2] / (base * results[-1][0]), 3
         ),
         "derived_mesh_efficiency": derived,
+        "saturation_knee_B": knee,
     }))
 
 
@@ -329,9 +341,13 @@ def main():
         "until one chip SATURATES — the regime where mesh sharding "
         "pays and the derived 8x efficiency is meaningful",
     )
+    ap.add_argument(
+        "--bmax", type=int, default=8192,
+        help="largest RHS batch in the sweep (power of two)",
+    )
     args = ap.parse_args()
     if args.mode == "batch":
-        run_batch_scaling(n=args.n, m=args.m)
+        run_batch_scaling(n=args.n, m=args.m, bmax=args.bmax)
     elif args.mode == "analyze":
         run_mesh_analysis()
     else:

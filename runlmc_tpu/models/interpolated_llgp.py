@@ -87,9 +87,21 @@ VALIDATION_ZSQ_THRESHOLD = 50.0
 VALIDATION_ZEROVAR_THRESHOLD = 0.05
 VALIDATION_HOLDOUT_FRAC = 0.06
 # Iteration cap for the guard's twin training (see
-# _validate_exact_objective): calibrated on the measured weather
-# pathology by benchmarks/guard_calibration.py.
-VALIDATION_GUARD_MAX_IT = 25
+# _validate_exact_objective). Calibrated on the measured weather
+# pathology (benchmarks/guard_calibration.py,
+# benchmarks/out/guard_calibration_r05.json): the breach signal is NOT
+# early-visible — held-out z^2 is non-monotone over training (15.6 ->
+# 4.3 -> 0.84 -> 3.0 -> 14.3 at iters 5/10/15/25/42) and the decisive
+# zero-variance fraction only jumps (0% -> 29.6%) at iteration ~42,
+# when the noise collapses near the twin's own stopping point (the
+# rolling-max rule ended it at 42 of max 100). A cap below ~42 would
+# make the guard validate the weather pathology (false negative), so
+# the cap sits above the measured breach point with margin and only
+# bounds the worst case; in practice the twin's stopping rule ends
+# training first and the guard costs about one extra naturally-stopped
+# training run (weather: 42 iters / 161 s CPU; fx2007: 21 iters, no
+# false positive at any count).
+VALIDATION_GUARD_MAX_IT = 60
 
 
 class InterpolatedLLGP(MultiGP):
@@ -893,7 +905,15 @@ class InterpolatedLLGP(MultiGP):
             and state is None
         ):
             self._auto_exact_guard = False  # run once
+            import time as _t
+
+            _t0 = _t.time()
             z2v, zfrac = self._validate_exact_objective(optimizer)
+            _LOG.info(
+                "objective='auto': held-out-block validation guard "
+                "took %.1fs (one capped twin training run)",
+                _t.time() - _t0,
+            )
             if (
                 z2v > VALIDATION_ZSQ_THRESHOLD
                 or zfrac > VALIDATION_ZEROVAR_THRESHOLD
@@ -981,18 +1001,30 @@ class InterpolatedLLGP(MultiGP):
                 # chunk's solves stalled above tolerance — its
                 # gradients are inexact (in the worst case, noise:
                 # weather round-3 logged chunk residuals ~ ||y||, i.e.
-                # failed solves). Re-run the SAME chunk (identical
-                # start state and probe keys) through the rescue
-                # program: boosted-jitter preconditioner, longer
-                # refinement cycles, near-1 stall ratio. Keep whichever
-                # run certified better.
+                # failed solves). Rung 1 re-runs the SAME chunk
+                # (identical start state and probe keys) through the
+                # rescue program: plain long-cycle Krylov, near-1
+                # stall ratio. Keep whichever run certified better.
+                # SKIPPED for beyond-cap 'tiled' models: there the
+                # rescue program's gather-path matvec costs ~60 ms per
+                # iteration, so a stuck breach burns its full 500-
+                # iteration budget per step (~30 s/step — the bulk of
+                # the round-4 weather m=2500 wall-clock); the rung-2
+                # certified ladder below subsumes its plain-Krylov
+                # strategy with host-driven bounded rounds and
+                # warm-started preconditioned first attempts.
+                chunk_stats["rescued_chunks"] += 1
+                use_rung1 = not any(
+                    gd.plan.mode == "tiled" for gd in self.grid_data
+                )
                 _LOG.warning(
                     "chunk worst solve residual %e exceeds the %g "
-                    "tolerance — re-running the chunk with the "
-                    "escalated solver",
+                    "tolerance — re-running with the escalated solver "
+                    "(%s)",
                     worst, self.tolerance,
+                    "plain-Krylov rescue program" if use_rung1
+                    else "certified-ladder rescue",
                 )
-                chunk_stats["rescued_chunks"] += 1
                 # Re-run FROM THE FIRST BREACHED STEP only (everything
                 # before it is already certified, and its state/probe
                 # stream is identical by construction), step-by-step
@@ -1007,42 +1039,50 @@ class InterpolatedLLGP(MultiGP):
                 # axon server has been observed to die under repeated
                 # giant compiles).
                 errs_np = np.asarray(errs, dtype=float)
-                bad = (errs_np > self.tolerance) | ~np.isfinite(errs_np)
-                j0 = int(np.argmax(bad))
-                if j0 == 0:
-                    st = args[:4]
+                if use_rung1:
+                    bad = (
+                        (errs_np > self.tolerance)
+                        | ~np.isfinite(errs_np)
+                    )
+                    j0 = int(np.argmax(bad))
+                    if j0 == 0:
+                        st = args[:4]
+                    else:
+                        st = tuple(
+                            jnp.asarray(a[j0 - 1], dtype=self.dtype)
+                            for a in (xs, gmss, smss, steps)
+                        )
+                    pieces = []
+                    for j in range(j0, len(gns)):
+                        o = self._jit_chunk(
+                            *st,
+                            run_key,
+                            jnp.asarray(
+                                int(np.asarray(start_iter)) + j,
+                                jnp.int32,
+                            ),
+                            hp,
+                            self._grid_data_rescue,
+                            self.precond_data32,
+                            self.inner_data32,
+                            self.y,
+                            rescue=True,
+                            n_steps=1,
+                        )
+                        st = (o[0][-1], o[1][-1], o[2][-1], o[3][-1])
+                        pieces.append(jax.device_get(o))
+                    plain = (xs, gmss, smss, steps, gns, iters, errs)
+                    r2 = tuple(
+                        np.concatenate(
+                            [np.asarray(plain[k][:j0])]
+                            + [p[k] for p in pieces]
+                        )
+                        for k in range(7)
+                    )
+                    worst2 = _worst_of(r2[6])
                 else:
-                    st = tuple(
-                        jnp.asarray(a[j0 - 1], dtype=self.dtype)
-                        for a in (xs, gmss, smss, steps)
-                    )
-                pieces = []
-                for j in range(j0, len(gns)):
-                    o = self._jit_chunk(
-                        *st,
-                        run_key,
-                        jnp.asarray(
-                            int(np.asarray(start_iter)) + j, jnp.int32
-                        ),
-                        hp,
-                        self._grid_data_rescue,
-                        self.precond_data32,
-                        self.inner_data32,
-                        self.y,
-                        rescue=True,
-                        n_steps=1,
-                    )
-                    st = (o[0][-1], o[1][-1], o[2][-1], o[3][-1])
-                    pieces.append(jax.device_get(o))
-                plain = (xs, gmss, smss, steps, gns, iters, errs)
-                r2 = tuple(
-                    np.concatenate(
-                        [np.asarray(plain[k][:j0])]
-                        + [p[k] for p in pieces]
-                    )
-                    for k in range(7)
-                )
-                worst2 = _worst_of(r2[6])
+                    r2 = None
+                    worst2 = float("inf")
                 # Adopt the rescue only when its solves meet the
                 # CALIBRATED gradient-accuracy bound: tolerance, or a
                 # relative residual of 2e-2 (tests/test_exact_residual
@@ -1238,16 +1278,12 @@ class InterpolatedLLGP(MultiGP):
         )
         # Replicate the main run's full optimizer configuration (a twin
         # trained under different hyperparameters would validate a
-        # different training regime), but CAP its iteration count: the
-        # breach signal is gap-extrapolation overconfidence, which
-        # develops as soon as the noise/lengthscale head toward the
-        # pathological optimum — measured on the real weather
-        # pathology (benchmarks/guard_calibration.py), the twin
-        # breaches the zero-variance criterion by iteration ~10 and
-        # the margin only widens, while a healthy fx2007 fit stays
-        # calibrated at every iteration count. The cap bounds the
-        # guard's cost at VALIDATION_GUARD_MAX_IT/max_it of a full
-        # training run instead of doubling it.
+        # different training regime), capped at
+        # VALIDATION_GUARD_MAX_IT — see the constant's calibration
+        # note: the breach signal only appears near the twin's natural
+        # stopping point, so the cap bounds the worst case rather than
+        # shortcutting the guard, and the guard's unavoidable cost
+        # (about one extra naturally-stopped training run) is logged.
         opt_kwargs = {}
         if isinstance(optimizer, AdaDelta):
             opt_kwargs = dict(
