@@ -959,8 +959,13 @@ class InterpolatedLLGP(MultiGP):
         chunk_stats = {"steps": 0, "seconds": 0.0, "iters": [],
                        "errors": [], "rescued_chunks": 0}
 
-        def run_chunk(x, gms, sms, step, start_iter):
-            """One device-side chunk of AdaDelta steps."""
+        def run_chunk(x, gms, sms, step, start_iter, stop_probe=None):
+            """One device-side chunk of AdaDelta steps.
+
+            ``stop_probe``: optional callable from the optimizer
+            replaying its stopping rule over a prefix of certified
+            grad norms (AdaDelta.minimize_chunked) — lets a breached
+            chunk skip rescue work on steps beyond the stop point."""
             self._debug_dump_params(x)
             hp = jnp.asarray(
                 [
@@ -996,7 +1001,45 @@ class InterpolatedLLGP(MultiGP):
                 return w if np.isfinite(w) else float("inf")
 
             worst = _worst_of(errs)
-            if self.objective == "stochastic" and worst > self.tolerance:
+            rescue_needed = (
+                self.objective == "stochastic" and worst > self.tolerance
+            )
+            if rescue_needed and stop_probe is not None:
+                # The stop rule may already fire within the CERTIFIED
+                # prefix of the chunk (breaches cluster at the
+                # degenerate training tail — round-4's weather m=2500
+                # breach sat entirely past the stop point). Replaying
+                # the rule over the certified prefix's grad norms is
+                # sound (those gradients are accurate); if it stops
+                # there, the breached steps are discarded by the host
+                # replay anyway — skip the rescue and truncate so the
+                # recorded residuals describe only ADOPTED steps.
+                errs_pre = np.asarray(errs, dtype=float)
+                bad_pre = (
+                    (errs_pre > self.tolerance) | ~np.isfinite(errs_pre)
+                )
+                j0_pre = int(np.argmax(bad_pre))
+                stop_j = (
+                    stop_probe(np.asarray(gns[:j0_pre], dtype=float))
+                    if j0_pre > 0
+                    else None
+                )
+                if stop_j is not None:
+                    _LOG.info(
+                        "chunk breach (residual %e) occurs past the "
+                        "stopping point (chunk step %d) — discarding "
+                        "the breached tail instead of rescuing it",
+                        worst, stop_j,
+                    )
+                    keep = stop_j + 1
+                    (xs, gmss, smss, steps, gns, iters, errs) = tuple(
+                        a[:keep]
+                        for a in (xs, gmss, smss, steps, gns, iters,
+                                  errs)
+                    )
+                    worst = _worst_of(errs)
+                    rescue_needed = False
+            if rescue_needed:
                 # IN-TRAINING ESCALATION (stochastic objective): the
                 # chunk's solves stalled above tolerance — its
                 # gradients are inexact (in the worst case, noise:
@@ -1136,12 +1179,26 @@ class InterpolatedLLGP(MultiGP):
                         (xs, gmss, smss, steps, gns, iters, errs) = r3
                         worst = worst3
                 if worst > self.tolerance:
-                    _LOG.warning(
-                        "escalated chunk still above tolerance "
-                        "(residual %e) — gradients for those steps are "
-                        "inexact",
-                        worst,
-                    )
+                    if worst <= adopt_bound:
+                        # above the solve tolerance but within the
+                        # CALIBRATED gradient-accuracy bound
+                        # (2e-2 * sqrt(n): gradient within 0.4%,
+                        # below the 15-probe estimator's own noise —
+                        # tests/test_exact_residual.py)
+                        _LOG.info(
+                            "escalated chunk residual %e is above the "
+                            "%g solve tolerance but WITHIN the "
+                            "calibrated gradient-accuracy bound %g — "
+                            "gradients remain estimator-grade",
+                            worst, self.tolerance, adopt_bound,
+                        )
+                    else:
+                        _LOG.warning(
+                            "escalated chunk still above the "
+                            "calibrated bound %g (residual %e) — "
+                            "gradients for those steps are inexact",
+                            adopt_bound, worst,
+                        )
             chunk_stats["seconds"] += _time.time() - t0
             chunk_stats["steps"] += len(gns)
             chunk_stats["iters"].extend(np.asarray(iters, float))

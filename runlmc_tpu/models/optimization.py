@@ -182,12 +182,38 @@ class AdaDelta:
         printing_delta = (
             max(self.max_it // self.verbosity, 1) if self.verbosity else 0
         )
+        import inspect
+
+        accepts_probe = (
+            "stop_probe" in inspect.signature(run_chunk).parameters
+        )
 
         stop = False
         while not stop:
-            xs, gmss, smss, steps, gns = run_chunk(
-                x, gms, sms, step, n_iter
-            )
+            def stop_probe(gns_prefix, _rm=rolling_max, _dr=drops,
+                           _ni=n_iter):
+                """Replay the stopping rule over a prefix of certified
+                grad norms: returns the 0-based chunk index at which
+                training stops, or None. Lets the oracle skip
+                expensive rescue work on steps that fall beyond the
+                stop point (they are discarded by this loop anyway)."""
+                rm, dr, ni = _rm, _dr, _ni
+                for j, gn in enumerate(gns_prefix):
+                    ni += 1
+                    rm = max(float(gn), rm)
+                    if float(gn) < self.min_grad_ratio * rm:
+                        dr -= 1
+                    if ni >= self.max_it or dr <= 0:
+                        return j
+                return None
+
+            if accepts_probe:
+                out = run_chunk(
+                    x, gms, sms, step, n_iter, stop_probe=stop_probe
+                )
+            else:
+                out = run_chunk(x, gms, sms, step, n_iter)
+            xs, gmss, smss, steps, gns = out
             j_last = len(gns) - 1
             for j, gn in enumerate(np.asarray(gns, dtype=float)):
                 n_iter += 1

@@ -186,6 +186,38 @@ def test_chunked_adadelta_matches_per_step(rng):
     np.testing.assert_allclose(x_chunk, x_ref, rtol=1e-12)
 
 
+def test_chunked_stop_probe_semantics(rng):
+    """minimize_chunked hands the oracle a stop_probe that replays the
+    stopping rule over a prefix of certified grad norms — the oracle
+    uses it to skip rescue work on breached steps past the stop point.
+    The probe must agree exactly with where the optimizer actually
+    stops."""
+    from runlmc_tpu.models.optimization import AdaDelta as AD
+
+    dim = 3
+    # gradient norms engineered so the rule stops mid-chunk: large
+    # norms then tiny ones (each tiny one burns a permitted drop)
+    norms = [10.0, 9.0, 8.0, 0.1, 0.1, 0.1, 0.1, 0.1, 5.0, 5.0]
+    probes_seen = []
+
+    def run_chunk(x, gms, sms, step, start_iter, stop_probe=None):
+        ln = 5
+        gns = np.asarray(norms[start_iter:start_iter + ln])
+        # record what the probe predicts for the full chunk prefix
+        probes_seen.append(stop_probe(gns))
+        zeros = np.zeros((len(gns), dim))
+        return zeros, zeros, zeros, zeros, gns
+
+    opt = AD(max_it=100, permitted_drops=5, min_grad_ratio=0.1)
+    _, info = opt.minimize_chunked(np.zeros(dim), run_chunk)
+    # drops: norms 0.1 < 0.1*10 = 1.0 burn drops at iters 4..8 (1-based)
+    # -> 5th drop at global iter 8 = chunk 2 index 2
+    assert info["n_iter"] == 8
+    assert probes_seen[0] is None  # first chunk: no stop in its norms
+    assert probes_seen[1] == 2  # second chunk stops at its index 2
+    assert len(probes_seen) == 2
+
+
 def test_pad_and_shard_batch(rng):
     from runlmc_tpu.parallel.mesh import pad_batch, shard_batch
 
