@@ -301,7 +301,23 @@ def main():
         help="tiny smoke config: subsampled data, few iterations, "
         "quality sanity asserts",
     )
+    ap.add_argument(
+        "--objective", default=None,
+        choices=("auto", "exact", "stochastic"),
+        help="override the builder's pinned training objective (e.g. "
+        "'auto' to measure the defaults path including the held-out "
+        "validation guard)",
+    )
     args = ap.parse_args()
+    if args.objective:
+        base = BUILDERS[args.benchmark]
+
+        def _override(m=None, _base=base):
+            built = list(_base(m))
+            built[7] = dict(built[7], objective=args.objective)
+            return tuple(built)
+
+        BUILDERS[args.benchmark] = _override
 
     if args.validate:
         run_validate(args.benchmark)
@@ -329,6 +345,7 @@ def main():
         "vs_baseline": round(baseline / float(train.mean()), 3),
         "baseline_s": baseline,
         "m": args.m,
+        **({"objective": args.objective} if args.objective else {}),
         "train_se": round(float(train.std() / np.sqrt(len(train))), 3),
         "pred_s": round(float(np.mean([r["pred_s"] for r in results])), 3),
         "smse": round(float(np.mean([r["smse"] for r in results])), 4),

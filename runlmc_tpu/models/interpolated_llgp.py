@@ -204,7 +204,13 @@ class InterpolatedLLGP(MultiGP):
         self.n_probes = int(trace_iterations)
         self.tolerance = float(tolerance)
         self.solver = solver
-        self.chunk_len = 10  # optimizer steps fused per device chunk
+        # Optimizer steps fused per device chunk. Measured on fx2007
+        # (profile_fx2007_r05.json): 35.1 / 32.1 / 31.9 ms-per-step at
+        # 5 / 10 / 20 — 10 captures the host-round-trip amortization
+        # to within 1% of 20 while wasting half as many tail steps at
+        # the stop boundary and keeping the rescue's re-run granularity
+        # (a breached chunk re-runs from its first breached step).
+        self.chunk_len = 10
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -1141,10 +1147,7 @@ class InterpolatedLLGP(MultiGP):
                 # m=500: adopting a 126 -> 25 "improvement" steered
                 # training into a far worse-conditioned optimum than
                 # tolerating the original noisy steps).
-                adopt_bound = max(
-                    self.tolerance,
-                    2e-2 * float(np.sqrt(len(self.data.y))),
-                )
+                adopt_bound = self._gradient_adopt_bound
                 if worst2 <= adopt_bound and worst2 <= worst:
                     # adopt only a rescue that BOTH meets the calibrated
                     # bound and actually certifies better than the plain
@@ -1428,6 +1431,17 @@ class InterpolatedLLGP(MultiGP):
         return all(gd.plan.mode == "dense" for gd in self.grid_data)
 
     @property
+    def _gradient_adopt_bound(self):
+        """Calibrated gradient-accuracy residual bound for TRAINING
+        solves: tolerance, or an absolute 2e-2 * sqrt(n) (probes have
+        norm sqrt(n); relative residual 2e-2 keeps the gradient within
+        0.4% — below the 15-probe estimator's own noise band,
+        tests/test_exact_residual.py)."""
+        return max(
+            self.tolerance, 2e-2 * float(np.sqrt(len(self.data.y)))
+        )
+
+    @property
     def _grid_data_rescue(self):
         """Fine grid data with the dense W blocks stripped — the
         compile-cheap gather-path operator the rescue programs use
@@ -1482,7 +1496,33 @@ class InterpolatedLLGP(MultiGP):
                 self.param_array = x1
                 rhs = jnp.concatenate([self.y[None], probes], axis=0)
                 what = "train-rescue[iter %d]" % it_g
-                sols, worst_j = self._solve_certified(rhs, what)
+                # bounded ladder: target the calibrated gradient-
+                # accuracy bound with a small round budget — training
+                # needs estimator-grade gradients; grinding a
+                # degenerate transient to solver-grade 1e-4 costs
+                # minutes per step for no training benefit (see
+                # _solve_certified_slice docstring)
+                sols, worst_j = self._solve_certified(
+                    rhs, what, tol=self._gradient_adopt_bound,
+                    max_rounds=5,
+                )
+                if worst_j > self._gradient_adopt_bound:
+                    # The rescued stream is only ADOPTED by run_chunk
+                    # when every step meets the calibrated bound; the
+                    # first step that can't reach it within the
+                    # bounded ladder makes the remaining ladder work
+                    # provably wasted — return the plain stream now
+                    # (one step's ladder cost instead of the whole
+                    # tail's; the weather m=500 degenerate transient
+                    # is exactly this case).
+                    _LOG.warning(
+                        "%s: bounded ladder could not reach the "
+                        "calibrated bound %g (residual %e) — "
+                        "abandoning the certified re-run for this "
+                        "chunk",
+                        what, self._gradient_adopt_bound, worst_j,
+                    )
+                    return plain
                 rep = self.prediction_report.get(what, {})
                 g = np.asarray(
                     self._jit_grad_from_solves(
@@ -1574,14 +1614,29 @@ class InterpolatedLLGP(MultiGP):
     # rows: per-iteration device cost scales with the batch, so slicing
     # both bounds each XLA execution AND lets the escalation rounds
     # afford real Krylov depth per round (one compile — slices share a
-    # shape; zero-padded tail rows converge instantly).
-    SOLVE_SLICE = 64
+    # shape; zero-padded tail rows converge instantly). ``None`` =
+    # auto: 128 for all-dense models (measured on fx2007 prediction,
+    # profile_fx2007_r05.json: 330 ms at 128 vs 444 ms at 64 vs 671 ms
+    # at 32 — dispatch count dominates at small grids), 64 beyond the
+    # dense cap (bounded-execution safety: escalation rounds there run
+    # ROUND_BUDGET-deep Krylov on the slice, and a 128-row round at
+    # weather-m=2500 scale doubles a single XLA execution's length
+    # toward the TPU runtime watchdog).
+    SOLVE_SLICE = None
 
-    def _solve_certified(self, rhs, what):
+    @property
+    def _solve_slice(self):
+        if self.SOLVE_SLICE is not None:
+            return int(self.SOLVE_SLICE)
+        return 128 if self._all_dense else 64
+
+    def _solve_certified(self, rhs, what, tol=None, max_rounds=None):
         B = int(rhs.shape[0])
-        S = self.SOLVE_SLICE
+        S = self._solve_slice
         if B <= S:
-            return self._solve_certified_slice(rhs, what)
+            return self._solve_certified_slice(
+                rhs, what, tol=tol, max_rounds=max_rounds
+            )
         pad = (-B) % S
         if pad:
             rhs_p = jnp.concatenate(
@@ -1596,6 +1651,7 @@ class InterpolatedLLGP(MultiGP):
             x, w = self._solve_certified_slice(
                 rhs_p[i * S : (i + 1) * S],
                 "%s[%d/%d]" % (what, i + 1, n_slices),
+                tol=tol, max_rounds=max_rounds,
             )
             sols.append(x)
             worst = max(worst, w)
@@ -1615,7 +1671,8 @@ class InterpolatedLLGP(MultiGP):
         }
         return jnp.concatenate(sols, axis=0)[:B], worst
 
-    def _solve_certified_slice(self, rhs, what):
+    def _solve_certified_slice(self, rhs, what, tol=None,
+                                max_rounds=None):
         """K^-1 rhs (batched, model dtype) with an auto-escalating
         solver ladder, every rung checking TRUE residuals:
 
@@ -1630,14 +1687,26 @@ class InterpolatedLLGP(MultiGP):
            iterative.py:54-58).
 
         Returns (solutions, worst abs residual); per-call diagnostics
-        recorded in ``self.prediction_report``."""
+        recorded in ``self.prediction_report``.
+
+        ``tol`` (default ``self.tolerance``) and ``max_rounds``
+        (default 30 per rung) bound the ladder: the TRAINING rescue
+        passes the calibrated gradient-accuracy bound and a small
+        round budget — training needs estimator-grade gradients, not
+        solver-grade residuals, and an unbounded ladder on a
+        degenerate transient burns minutes per step (measured on the
+        weather m=500 mid-training breach: the full ladder ground
+        126 -> 0.68 over ~40 s/step when 2.51 already certifies the
+        gradient)."""
+        tol = self.tolerance if tol is None else float(tol)
+        rung_rounds = 30 if max_rounds is None else int(max_rounds)
 
         def _worst(e):
             w = float(jnp.max(e))
             # NaN compares False vs thresholds — treat as a breach
             return w if np.isfinite(w) else float("inf")
 
-        def _rounds(round_call, rhs, max_rounds=30, x0=None):
+        def _rounds(round_call, rhs, max_rounds=None, x0=None):
             """Host-driven bounded refinement rounds (see
             wb_pcg_round_fn / krylov_round_fn): loop until tolerance,
             stall (two rounds without 1% progress), or the round
@@ -1648,11 +1717,12 @@ class InterpolatedLLGP(MultiGP):
             prev = float("inf")
             stalled = 0
             worst = float("inf")
-            for _ in range(max_rounds):
+            for _ in range(rung_rounds if max_rounds is None
+                           else max_rounds):
                 x, rnorm, iters = round_call(rhs, x)
                 iters_total += float(jnp.max(iters))
                 worst = _worst(rnorm)
-                if worst <= self.tolerance:
+                if worst <= tol:
                     break
                 if worst > 0.99 * prev:
                     stalled += 1
@@ -1673,7 +1743,7 @@ class InterpolatedLLGP(MultiGP):
         )
         worst = err
         escalated = False
-        if worst > self.tolerance:
+        if worst > tol:
             escalated = True
             f64_native = (
                 self.dtype == jnp.float64
@@ -1684,7 +1754,7 @@ class InterpolatedLLGP(MultiGP):
                     "%s: f32-preconditioned solve stalled at residual "
                     "%e (tolerance %g) — escalating to the model-dtype "
                     "factorization",
-                    what, worst, self.tolerance,
+                    what, worst, tol,
                 )
                 wb_md = self._woodbury()
                 x2, it2, err2 = _rounds(
@@ -1699,7 +1769,7 @@ class InterpolatedLLGP(MultiGP):
                     "%e (tolerance %g) — escalating to MODEL-dtype "
                     "cycles with the f32 factor (model-dtype "
                     "factorization %s)",
-                    what, worst, self.tolerance,
+                    what, worst, tol,
                     "unavailable for non-dense grids"
                     if not self._all_dense
                     else "unaffordable on %s" % jax.default_backend(),
@@ -1719,7 +1789,7 @@ class InterpolatedLLGP(MultiGP):
                     rhs,
                     x0=x,
                 )
-                if err2 > self.tolerance:
+                if err2 > tol:
                     # Rung 2: plain model-dtype Krylov on the
                     # W-block-stripped operator — its gather program
                     # compiles in seconds, where the W-block f64
@@ -1748,7 +1818,7 @@ class InterpolatedLLGP(MultiGP):
                 x, iters, worst = x2, iters + it2, w2
             else:
                 iters = iters + it2
-        if worst > self.tolerance:
+        if worst > tol:
             _LOG.critical(
                 "%s (n = %d) did not converge: reconstruction error %e",
                 what, self.y.shape[0], worst,
