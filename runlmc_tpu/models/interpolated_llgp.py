@@ -964,6 +964,14 @@ class InterpolatedLLGP(MultiGP):
 
         chunk_stats = {"steps": 0, "seconds": 0.0, "iters": [],
                        "errors": [], "rescued_chunks": 0}
+        # Futility latch for the in-training rescue: once BOTH rescue
+        # rungs fail to reach the calibrated gradient bound on a chunk
+        # (a degenerate trajectory whose conditioning defeats every
+        # solver rung), later breached chunks of the SAME run skip the
+        # attempts — the rescues were not being adopted, so repeating
+        # them only multiplies wall-clock (measured: ~20 s per
+        # breached chunk on the weather m=500 degenerate run).
+        rescue_futile = {"flag": False}
 
         def run_chunk(x, gms, sms, step, start_iter, stop_probe=None):
             """One device-side chunk of AdaDelta steps.
@@ -1045,6 +1053,15 @@ class InterpolatedLLGP(MultiGP):
                     )
                     worst = _worst_of(errs)
                     rescue_needed = False
+            if rescue_needed and rescue_futile["flag"]:
+                _LOG.warning(
+                    "chunk worst solve residual %e exceeds tolerance; "
+                    "rescue already proved futile on this trajectory "
+                    "— tolerating inexact gradients (reference "
+                    "parity: iterative.py:54-58)",
+                    worst,
+                )
+                rescue_needed = False
             if rescue_needed:
                 # IN-TRAINING ESCALATION (stochastic objective): the
                 # chunk's solves stalled above tolerance — its
@@ -1202,6 +1219,10 @@ class InterpolatedLLGP(MultiGP):
                             "gradients for those steps are inexact",
                             adopt_bound, worst,
                         )
+                        # every rung failed to reach the calibrated
+                        # bound: stop attempting rescues on this
+                        # trajectory (see rescue_futile above)
+                        rescue_futile["flag"] = True
             chunk_stats["seconds"] += _time.time() - t0
             chunk_stats["steps"] += len(gns)
             chunk_stats["iters"].extend(np.asarray(iters, float))
