@@ -1119,6 +1119,7 @@ class InterpolatedLLGP(MultiGP):
                             for a in (xs, gmss, smss, steps)
                         )
                     pieces = []
+                    adopt_bound_pre = self._gradient_adopt_bound
                     for j in range(j0, len(gns)):
                         o = self._jit_chunk(
                             *st,
@@ -1137,15 +1138,36 @@ class InterpolatedLLGP(MultiGP):
                         )
                         st = (o[0][-1], o[1][-1], o[2][-1], o[3][-1])
                         pieces.append(jax.device_get(o))
-                    plain = (xs, gmss, smss, steps, gns, iters, errs)
-                    r2 = tuple(
-                        np.concatenate(
-                            [np.asarray(plain[k][:j0])]
-                            + [p[k] for p in pieces]
+                        if j == j0 and _worst_of(
+                            np.asarray(pieces[-1][6], dtype=float)
+                        ) > adopt_bound_pre:
+                            # the FIRST rescued step already misses
+                            # the calibrated bound: every later step
+                            # evolves from its garbage state, so the
+                            # stream can never be adopted — bail
+                            # before paying for the rest (each step
+                            # burns a full plain-Krylov budget)
+                            _LOG.warning(
+                                "plain-Krylov rescue failed the "
+                                "calibrated bound on its first step "
+                                "— skipping the remaining re-runs",
+                            )
+                            pieces = None
+                            break
+                    if pieces is not None:
+                        plain = (xs, gmss, smss, steps, gns, iters,
+                                 errs)
+                        r2 = tuple(
+                            np.concatenate(
+                                [np.asarray(plain[k][:j0])]
+                                + [p[k] for p in pieces]
+                            )
+                            for k in range(7)
                         )
-                        for k in range(7)
-                    )
-                    worst2 = _worst_of(r2[6])
+                        worst2 = _worst_of(r2[6])
+                    else:
+                        r2 = None
+                        worst2 = float("inf")
                 else:
                     r2 = None
                     worst2 = float("inf")
