@@ -230,6 +230,7 @@ def exact_ski_mll(
     jitter=(1e-6, 1e-4, 1e-2),
     c_jitter=(0.0, 1e-6, 1e-3),
     data_shard=None,
+    equilibrate=None,
 ):
     """EXACT marginal log-likelihood of the dense-grid-mode SKI model,
     differentiated through the on-device Woodbury factorization.
@@ -281,6 +282,7 @@ def exact_ski_mll(
         tuple(gd.WtW for gd in grid_data),
         jitter=jitter,
         c_jitter=c_jitter,
+        equilibrate=equilibrate,
     )
     hi = jax.lax.Precision.HIGHEST
     alpha = wb.solve(y)
@@ -302,7 +304,8 @@ def exact_ski_mll(
     return mll, aux
 
 
-def f32_factorization_residual(spec, raw_params, grid_data32, lens, y):
+def f32_factorization_residual(spec, raw_params, grid_data32, lens, y,
+                               equilibrate=None):
     """Self-consistency residual ||K~ (K~^-1 y) - y|| / ||y|| of the
     FLOAT32 Woodbury factorization at the given parameters — the same
     diagnostic :func:`exact_ski_mll` reports per training step
@@ -332,6 +335,7 @@ def f32_factorization_residual(spec, raw_params, grid_data32, lens, y):
         tuple(gd.WtW for gd in grid_data32),
         jitter=(1e-6, 1e-4, 1e-2),
         c_jitter=(0.0, 1e-6, 1e-3),
+        equilibrate=equilibrate,
     )
     y32 = jnp.asarray(y, dtype=jnp.float32)
     alpha = wb.solve(y32)

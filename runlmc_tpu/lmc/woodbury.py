@@ -207,7 +207,7 @@ class DeviceWoodbury(NamedTuple):
 
 def build_device_woodbury(
     groups, noise_eps, noise_n, wtw, jitter=(1e-6, 1e-4, 1e-2, 1e-1),
-    c_jitter=(0.0, 1e-6, 1e-3, 1e-1),
+    c_jitter=(0.0, 1e-6, 1e-3, 1e-1), equilibrate=None,
 ):
     """Factor the SKI covariance entirely on device (jittable).
 
@@ -229,6 +229,16 @@ def build_device_woodbury(
     :param jitter: escalating relative jitter scales for the K_UU
         Cholesky factors (see :func:`chol_jittered`).
     :param c_jitter: same for the capacitance matrix C.
+    :param equilibrate: Jacobi-equilibration mode for both Cholesky
+        factorizations (see :func:`chol_jittered`); ``None`` defers to
+        ``EQUILIBRATE_DEFAULT``. Equilibration is what keeps f32 alive
+        on GRADED matrices (weather mid-training), but on
+        well-balanced matrices the de-scaling round-trip can cost a
+        fraction of a digit — synth's trajectory measures worst
+        relative residual 0.35 equilibrated (r05 artifact) vs
+        0.18-0.24 raw (r03 artifact, same seeds/protocol) — so the
+        in-training escalation ladder probes the FLIPPED mode before
+        abandoning the exact objective.
     """
     for g in groups:
         if g.KUU_dense is None or g.W_blocks is None:
@@ -236,7 +246,10 @@ def build_device_woodbury(
                 "device Woodbury factorization requires dense grid mode"
             )
     dtype = noise_n.dtype
-    Fs = tuple(chol_jittered(g.KUU_dense, scales=jitter) for g in groups)
+    Fs = tuple(
+        chol_jittered(g.KUU_dense, scales=jitter, equilibrate=equilibrate)
+        for g in groups
+    )
     inv_eps = (1.0 / noise_eps).astype(dtype)
 
     def diag_block(F, G):
@@ -279,7 +292,7 @@ def build_device_woodbury(
                 rows[a][b] = rows[b][a].T
         C = jnp.block(rows)
     C = C + jnp.eye(C.shape[0], dtype=dtype)
-    L_C = chol_jittered(C, scales=c_jitter)
+    L_C = chol_jittered(C, scales=c_jitter, equilibrate=equilibrate)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_C))) + jnp.sum(
         jnp.log(noise_n)
     )

@@ -363,6 +363,19 @@ class InterpolatedLLGP(MultiGP):
         self._unravel = unravel
         self.n_params = flat.shape[0]
 
+        # Jacobi-equilibration mode for the Woodbury factorizations
+        # (None = woodbury.EQUILIBRATE_DEFAULT). Equilibration rescues
+        # graded matrices (weather mid-training) but costs a fraction
+        # of a digit on well-balanced ones; when the exact objective's
+        # residual breaches mid-training, the escalation ladder probes
+        # the FLIPPED mode once before abandoning the exact objective
+        # (measured on synth, same seeds/protocol: worst residual
+        # 0.35 equilibrated [r05] vs 0.18-0.24 raw [r03] — the flip
+        # keeps the 85 ms/step exact path where demotion pays
+        # ~1.8 s/step stochastic Krylov).
+        self._equilibrate = None
+        self._equilibrate_flip_tried = False
+
         if self.objective == "auto":
             # Objective auto-selection: the exact (direct-factorization)
             # objective is the flagship — deterministic, probe-free, one
@@ -391,6 +404,29 @@ class InterpolatedLLGP(MultiGP):
                         self.data.lens, self.y,
                     )
                 )
+                if res > EXACT_RESIDUAL_THRESHOLD:
+                    # one more probe with the Jacobi equilibration
+                    # flipped before giving up on the exact objective
+                    # (see self._equilibrate above)
+                    import runlmc_tpu.lmc.woodbury as _wb
+                    res_flip = float(
+                        lk.f32_factorization_residual(
+                            self.spec, self.params, self.grid_data32,
+                            self.data.lens, self.y,
+                            equilibrate=not _wb.EQUILIBRATE_DEFAULT,
+                        )
+                    )
+                    if res_flip <= EXACT_RESIDUAL_THRESHOLD:
+                        _LOG.info(
+                            "objective='auto': default-equilibration "
+                            "probe residual %.2e breaches but the "
+                            "flipped mode certifies at %.2e — using "
+                            "exact with equilibrate=%s",
+                            res, res_flip, not _wb.EQUILIBRATE_DEFAULT,
+                        )
+                        self._equilibrate = not _wb.EQUILIBRATE_DEFAULT
+                        self._equilibrate_flip_tried = True
+                        res = res_flip
                 self.objective = (
                     "exact"
                     if res <= EXACT_RESIDUAL_THRESHOLD
@@ -472,6 +508,7 @@ class InterpolatedLLGP(MultiGP):
         objective_mode = self.objective
         exact_precision = self.exact_precision
         data_shard = self._data_shard
+        equilibrate_mode = self._equilibrate
         # Beyond-dense-cap TPU models ('tiled' fine operator, emulated
         # f64): route the DIFFERENTIABLE covariance application through
         # the f32 fft fine twin — the tiled gather's backward is a
@@ -512,6 +549,7 @@ class InterpolatedLLGP(MultiGP):
                         spec, p, gd, lens,
                         y.astype(cdtype), jitter=jit_scales,
                         c_jitter=c_scales, data_shard=data_shard,
+                        equilibrate=equilibrate_mode,
                     )
                     if prior_specs:
                         mll = mll + lk.log_prior_term(prior_specs, p)
@@ -683,6 +721,7 @@ class InterpolatedLLGP(MultiGP):
                 tuple(gd.WtW for gd in grid_data),
                 jitter=tight,
                 c_jitter=c_tight,
+                equilibrate=equilibrate_mode,
             )
 
         @jax.jit
@@ -702,6 +741,7 @@ class InterpolatedLLGP(MultiGP):
                 spec.noise(params32),
                 K32.noise_n,
                 tuple(gd.WtW for gd in grid_data32),
+                equilibrate=equilibrate_mode,
             )
 
         # Per-round Krylov budget for certified solves. Solves are
@@ -1284,17 +1324,76 @@ class InterpolatedLLGP(MultiGP):
                     self.exact_precision = "model"
                     self._build_jit()
                 elif self.objective == "exact":
-                    _LOG.warning(
-                        "exact-objective residual %e exceeded the "
-                        "calibrated %g threshold with no affordable "
-                        "higher-precision factorization on this "
-                        "platform (%s) — switching training to the "
-                        "stochastic objective for the remaining steps",
-                        worst, EXACT_RESIDUAL_THRESHOLD,
-                        jax.default_backend(),
-                    )
-                    self.objective = "stochastic"
-                    self._build_jit()
+                    # Before abandoning the exact objective entirely,
+                    # probe the factorization with the Jacobi
+                    # equilibration FLIPPED at the current parameters:
+                    # equilibration is a numerical strategy, not a
+                    # property of the model, and which mode preserves
+                    # more f32 digits depends on the matrix's grading
+                    # (weather's graded capacitance needs it; synth's
+                    # balanced one measures worst 0.35 equilibrated vs
+                    # 0.18-0.24 raw across the r03/r05 artifacts).
+                    # One eager probe costs one factorization;
+                    # demotion costs stochastic Krylov for every
+                    # remaining step (~20x per step on synth).
+                    flipped_ok = False
+                    if (
+                        not self._equilibrate_flip_tried
+                        and self.grid_data32 is not None
+                        and self._all_dense
+                    ):
+                        self._equilibrate_flip_tried = True
+                        import runlmc_tpu.lmc.woodbury as _wb
+                        cur = (
+                            self._equilibrate
+                            if self._equilibrate is not None
+                            else _wb.EQUILIBRATE_DEFAULT
+                        )
+                        params_now = self._unravel(
+                            jnp.asarray(
+                                np.asarray(xs)[-1], dtype=self.dtype
+                            )
+                        )
+                        res_flip = float(
+                            lk.f32_factorization_residual(
+                                self.spec, params_now,
+                                self.grid_data32, self.data.lens,
+                                self.y, equilibrate=not cur,
+                            )
+                        )
+                        if res_flip <= EXACT_RESIDUAL_THRESHOLD:
+                            _LOG.warning(
+                                "exact-objective residual %e exceeded "
+                                "the calibrated %g threshold, but the "
+                                "equilibration-flipped factorization "
+                                "certifies at %e — flipping "
+                                "equilibrate to %s and keeping the "
+                                "exact objective",
+                                worst, EXACT_RESIDUAL_THRESHOLD,
+                                res_flip, not cur,
+                            )
+                            self._equilibrate = not cur
+                            self._build_jit()
+                            flipped_ok = True
+                        else:
+                            _LOG.info(
+                                "equilibration-flipped probe also "
+                                "breaches (%e) — demoting",
+                                res_flip,
+                            )
+                    if not flipped_ok:
+                        _LOG.warning(
+                            "exact-objective residual %e exceeded the "
+                            "calibrated %g threshold with no "
+                            "affordable higher-precision "
+                            "factorization on this platform (%s) — "
+                            "switching training to the stochastic "
+                            "objective for the remaining steps",
+                            worst, EXACT_RESIDUAL_THRESHOLD,
+                            jax.default_backend(),
+                        )
+                        self.objective = "stochastic"
+                        self._build_jit()
                 else:
                     _LOG.warning(
                         "solve residual %e exceeds the calibrated %g "

@@ -194,3 +194,79 @@ def test_escalation_targets_stochastic_without_native_f64(
     # maxiter=n — reference parity is to log and continue)
     assert info["mean_solve_iters"] > 0
     assert np.all(np.isfinite(m32.param_array))
+
+
+def test_equilibration_flip_keeps_exact_objective(rng, monkeypatch):
+    """Before demoting exact -> stochastic on a mid-training residual
+    breach, the escalation ladder probes the factorization with the
+    Jacobi equilibration FLIPPED at the current parameters: which mode
+    preserves more f32 digits depends on the matrix's grading
+    (measured on synth: 0.35 equilibrated vs 0.20 raw at the same
+    trajectory point). A certifying flipped probe keeps the exact
+    objective (at ~20x less per-step cost than the stochastic Krylov
+    demotion target); the probe result is faked here to isolate the
+    ladder's control flow from platform numerics."""
+    import runlmc_tpu.lmc.likelihood as lklh
+    import runlmc_tpu.lmc.woodbury as wb
+    from runlmc_tpu import AdaDelta
+
+    m32, _ = _models(rng)
+    params = dict(m32.params)
+    params["noise"] = jnp.asarray(
+        POSITIVE.inverse(1e-6 * np.ones(2)), dtype=m32.dtype
+    )
+    m32.set_params(params)
+    _, res = _grad_at_noise(m32, 1e-6)
+    if res <= EXACT_RESIDUAL_THRESHOLD:
+        pytest.skip("1e-6 noise did not break f32 on this platform")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    flipped = not wb.EQUILIBRATE_DEFAULT
+    real = lklh.f32_factorization_residual
+    calls = []
+
+    def fake(spec, raw_params, gd32, lens, y, equilibrate=None):
+        calls.append(equilibrate)
+        if equilibrate == flipped:
+            return jnp.asarray(1e-6, jnp.float32)
+        return real(spec, raw_params, gd32, lens, y,
+                    equilibrate=equilibrate)
+
+    monkeypatch.setattr(lklh, "f32_factorization_residual", fake)
+    # max_it=4 -> a single chunk: the breach fires once, the flipped
+    # probe certifies, and training ends still on the exact objective
+    info = m32.optimize(optimizer=AdaDelta(max_it=4))
+    assert flipped in calls  # the ladder actually probed the flip
+    assert m32.objective == "exact"
+    assert m32._equilibrate == flipped
+    assert m32._equilibrate_flip_tried
+    assert info["n_iter"] == 4
+
+
+def test_auto_probe_tries_flipped_equilibration(rng, monkeypatch):
+    """objective='auto' whose default-mode probe breaches tries the
+    equilibration-flipped probe before settling on stochastic; a
+    certifying flip selects the exact objective with that mode."""
+    import runlmc_tpu.lmc.likelihood as lklh
+    import runlmc_tpu.lmc.woodbury as wb
+
+    Xs = [np.sort(rng.uniform(0, 2 * np.pi, (40, 1)), axis=0)
+          for _ in range(2)]
+    Ys = [np.sin(X[:, 0]) + 0.05 * rng.standard_normal(40) for X in Xs]
+    spec = LMCKernelSpec.create(
+        D=2, lmc_kernels=[RBF(name="k")], lmc_ranks=[1]
+    )
+    flipped = not wb.EQUILIBRATE_DEFAULT
+
+    def fake(spec_, raw_params, gd32, lens, y, equilibrate=None):
+        return jnp.asarray(
+            1e-6 if equilibrate == flipped else 1.0, jnp.float32
+        )
+
+    monkeypatch.setattr(lklh, "f32_factorization_residual", fake)
+    m = InterpolatedLLGP(
+        Xs, Ys, functional_kernel=spec, m=[16], seed=1,
+        objective="auto",
+    )
+    assert m.objective == "exact"
+    assert m._equilibrate == flipped
+    assert m._equilibrate_flip_tried
