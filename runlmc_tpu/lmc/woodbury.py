@@ -234,11 +234,16 @@ def build_device_woodbury(
         ``EQUILIBRATE_DEFAULT``. Equilibration is what keeps f32 alive
         on GRADED matrices (weather mid-training), but on
         well-balanced matrices the de-scaling round-trip can cost a
-        fraction of a digit — synth's trajectory measures worst
-        relative residual 0.35 equilibrated (r05 artifact) vs
-        0.18-0.24 raw (r03 artifact, same seeds/protocol) — so the
+        fraction of a digit — synth run 1's trajectory measures worst
+        relative residual 0.35 equilibrated while the raw probe
+        certifies at 0.081 at the same parameters — so the
         in-training escalation ladder probes the FLIPPED mode before
-        abandoning the exact objective.
+        abandoning the exact objective. The raw mode is also more
+        FRAGILE: compiled inside a scanned chunk, the raw f32
+        Cholesky at that scale can degrade where the eager probe
+        succeeds (fusion/layout numerics on the conditioning cliff),
+        which is why equilibration stays the default and the flip is
+        only a rescue rung.
     """
     for g in groups:
         if g.KUU_dense is None or g.W_blocks is None:

@@ -369,10 +369,14 @@ class InterpolatedLLGP(MultiGP):
         # of a digit on well-balanced ones; when the exact objective's
         # residual breaches mid-training, the escalation ladder probes
         # the FLIPPED mode once before abandoning the exact objective
-        # (measured on synth, same seeds/protocol: worst residual
-        # 0.35 equilibrated [r05] vs 0.18-0.24 raw [r03] — the flip
-        # keeps the 85 ms/step exact path where demotion pays
-        # ~1.8 s/step stochastic Krylov).
+        # (measured on synth run 1, seed 1234: equilibrated worst
+        # residual 0.35 breaches; the flipped factorization certifies
+        # at 0.081 and finishes exact in 27 s where the stochastic
+        # demotion costs 37 s — identical SMSE either way. The flipped
+        # mode is SLOWER per step than the equilibrated one (the raw
+        # f32 Cholesky is fragile inside the scanned chunk program and
+        # the in-program rescue fires, ~1.4-1.7 s/step vs 85 ms), so
+        # the flip is strictly a rescue rung, never the default.)
         self._equilibrate = None
         self._equilibrate_flip_tried = False
 
@@ -1330,12 +1334,17 @@ class InterpolatedLLGP(MultiGP):
                     # equilibration is a numerical strategy, not a
                     # property of the model, and which mode preserves
                     # more f32 digits depends on the matrix's grading
-                    # (weather's graded capacitance needs it; synth's
-                    # balanced one measures worst 0.35 equilibrated vs
-                    # 0.18-0.24 raw across the r03/r05 artifacts).
-                    # One eager probe costs one factorization;
-                    # demotion costs stochastic Krylov for every
-                    # remaining step (~20x per step on synth).
+                    # (weather's graded capacitance needs it; synth
+                    # run 1's eager flipped probe certifies at 0.081
+                    # where the equilibrated chunk measured 0.35).
+                    # One eager probe costs one factorization, and an
+                    # adopted flip finishes the run exact — measured
+                    # 27 s on synth run 1 vs 37 s for the stochastic
+                    # demotion, at identical SMSE. (The flipped steps
+                    # are slower than equilibrated ones — the raw f32
+                    # Cholesky is fragile inside the scanned chunk and
+                    # the in-program rescue fires — so the flip is a
+                    # rescue rung only, never the default.)
                     flipped_ok = False
                     if (
                         not self._equilibrate_flip_tried

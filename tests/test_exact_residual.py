@@ -201,8 +201,8 @@ def test_equilibration_flip_keeps_exact_objective(rng, monkeypatch):
     breach, the escalation ladder probes the factorization with the
     Jacobi equilibration FLIPPED at the current parameters: which mode
     preserves more f32 digits depends on the matrix's grading
-    (measured on synth: 0.35 equilibrated vs 0.20 raw at the same
-    trajectory point). A certifying flipped probe keeps the exact
+    (measured on synth run 1: 0.35 equilibrated vs a 0.081 flipped
+    probe at the same parameters). A certifying flipped probe keeps the exact
     objective (at ~20x less per-step cost than the stochastic Krylov
     demotion target); the probe result is faked here to isolate the
     ladder's control flow from platform numerics."""
